@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Tests exercise the multi-chip sharding path (jax.sharding.Mesh over 8 virtual
+CPU devices) without TPU hardware; the driver's bench runs on the real chip.
+Must set env BEFORE jax is imported anywhere.
+"""
+import os
+
+# Force override: the environment presets JAX_PLATFORMS=axon (TPU tunnel);
+# unit tests must run on local CPU with virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devs[:8]).reshape(4, 2), ("data", "model"))
