@@ -1,0 +1,251 @@
+"""F-LOAM-style LiDAR scan-to-map odometry, fully jitted.
+
+Rebuild of the reference's `EstimationMapping`
+(reference: src/visual_inertial_lidar/feature_tracker/include/EstimationMapping.hpp:
+optimation_processing :235-296, EdgeCostFactor :117-172, SurfCostFactor
+:174-232, createSubMap :298-352, analytic se3 Jacobians lidarFactor.hpp:6-111).
+
+TPU-first redesign:
+  * kd-trees -> tiled brute-force kNN (ops/knn.py), batched over all feature
+    points at once.
+  * per-point Ceres cost functors -> vmapped residuals with hand-derived
+    3x6 pose Jacobians, reduced to a single 6x6 normal system by einsum
+    (this mirrors the reference's DENSE_QR on one SE(3) block).
+  * 2 relinearizations x <=4 Ceres iters -> n_outer association passes x
+    n_inner damped-GN steps inside one jit (static iteration counts).
+  * unbounded PCL maps -> fixed-capacity voxel buffers with validity masks,
+    crop+voxel maintenance identical in effect to createSubMap.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vil_fusion_tpu.models.lidar_features import LidarConfig, LidarFeatures, extract_features
+from vil_fusion_tpu.ops import knn as knn_ops
+from vil_fusion_tpu.ops import lie
+from vil_fusion_tpu.ops import voxel as voxel_ops
+
+
+class OdomConfig(NamedTuple):
+    lidar: LidarConfig = LidarConfig()
+    edge_map_cap: int = 16384
+    surf_map_cap: int = 32768
+    edge_map_voxel: float = 0.4
+    surf_map_voxel: float = 0.8
+    crop_half_extent: float = 100.0
+    n_outer: int = 3  # association passes (reference: 2 relinearizations)
+    n_inner: int = 4  # GN steps per pass (reference: <=4 Ceres iters)
+    knn_k: int = 5
+    edge_eig_ratio: float = 3.0  # lambda_max > 3 * lambda_mid
+    plane_tol: float = 0.2  # plane-fit residual validity (SurfCostFactor :189)
+    huber_delta: float = 0.1  # robust loss scale (matches ceres HuberLoss(0.1))
+    lm_lambda: float = 1e-4
+    max_corr_dist: float = 3.0  # reject correspondences further than this
+
+
+class MapState(NamedTuple):
+    edge_map: jnp.ndarray
+    edge_map_valid: jnp.ndarray
+    surf_map: jnp.ndarray
+    surf_map_valid: jnp.ndarray
+    q: jnp.ndarray  # current world pose
+    p: jnp.ndarray
+    q_prev: jnp.ndarray  # previous pose (constant-velocity prediction)
+    p_prev: jnp.ndarray
+    frame_count: jnp.ndarray  # int32 scalar
+
+
+def init_state(cfg: OdomConfig, dtype=jnp.float32) -> MapState:
+    q0 = jnp.array([1.0, 0, 0, 0], dtype)
+    p0 = jnp.zeros(3, dtype)
+    return MapState(
+        edge_map=jnp.zeros((cfg.edge_map_cap, 3), dtype),
+        edge_map_valid=jnp.zeros((cfg.edge_map_cap,), bool),
+        surf_map=jnp.zeros((cfg.surf_map_cap, 3), dtype),
+        surf_map_valid=jnp.zeros((cfg.surf_map_cap,), bool),
+        q=q0, p=p0, q_prev=q0, p_prev=p0,
+        frame_count=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correspondence building (replaces EdgeCostFactor/SurfCostFactor setup)
+# ---------------------------------------------------------------------------
+
+def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig):
+    """5-NN line fit per edge point: PCA direction + eigenvalue gating
+    (EstimationMapping.hpp:254-270 semantics: lambda_max > 3 lambda_mid)."""
+    d2, idx = knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+    nn = map_pts[idx]  # (N, k, 3)
+    ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
+    centroid = jnp.mean(nn, axis=1)
+    centered = nn - centroid[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / cfg.knn_k
+    lam, vec = jnp.linalg.eigh(cov)  # ascending
+    direction = vec[..., 2]  # principal direction
+    ok = ok & (lam[:, 2] > cfg.edge_eig_ratio * lam[:, 1])
+    finite = jnp.isfinite(direction).all(axis=-1) & jnp.isfinite(centroid).all(axis=-1)
+    ok = ok & finite
+    z = jnp.array([0.0, 0.0, 1.0], pts_w.dtype)
+    direction = jnp.where(finite[:, None], direction, z)
+    centroid = jnp.where(finite[:, None], centroid, 0.0)
+    return centroid, direction, ok
+
+
+def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig):
+    """5-NN plane fit per planar point: solve A n = -1, gate on fit residual
+    (SurfCostFactor :174-206 semantics)."""
+    d2, idx = knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+    nn = map_pts[idx]  # (N, k, 3)
+    ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
+    # normal from A n = -1  (A = nn):  n = -(A^T A)^-1 A^T 1
+    AtA = jnp.einsum("nki,nkj->nij", nn, nn)
+    At1 = jnp.sum(nn, axis=1)
+    eye = jnp.eye(3, dtype=pts_w.dtype) * 1e-6
+    n = -jnp.linalg.solve(AtA + eye, At1[..., None])[..., 0]
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n_hat = n / jnp.maximum(norm, 1e-8)
+    d_off = 1.0 / jnp.maximum(norm[:, 0], 1e-8)
+    fit_res = jnp.abs(jnp.einsum("nki,ni->nk", nn, n_hat) + d_off[:, None])
+    ok = ok & jnp.all(fit_res < cfg.plane_tol, axis=-1)
+    # sanitize: ill-conditioned fits yield non-finite normals; 0 * NaN = NaN
+    # would poison the masked Hessian reduction downstream.
+    finite = jnp.isfinite(n_hat).all(axis=-1) & jnp.isfinite(d_off)
+    ok = ok & finite
+    z = jnp.array([0.0, 0.0, 1.0], pts_w.dtype)
+    n_hat = jnp.where(finite[:, None], n_hat, z)
+    d_off = jnp.where(finite, d_off, 0.0)
+    return n_hat, d_off, ok
+
+
+# ---------------------------------------------------------------------------
+# Damped Gauss-Newton on one SE(3) block
+# ---------------------------------------------------------------------------
+
+def _pose_point_jacobian(q, x):
+    """d(R exp(th) x + p)/d[dp, dth] = [I | -R skew(x)], (N, 3, 6)."""
+    R = lie.q2R(q)
+    J_th = -jnp.einsum("ij,njk->nik", R, lie.skew(x))
+    J_p = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), J_th.shape)
+    return jnp.concatenate([J_p, J_th], axis=-1)
+
+
+def _huber_w(r_norm, delta):
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
+
+
+def _gn_system(q, p, edge_x, e_cent, e_dir, e_ok, surf_x, s_n, s_d, s_ok, cfg: OdomConfig):
+    """Assemble the 6x6 normal system from edge + plane residuals."""
+    dtype = p.dtype
+    # edge residual: (I - d d^T)(p_w - c)
+    pe_w = lie.qrot(q, edge_x) + p
+    P_line = jnp.eye(3, dtype=dtype) - jnp.einsum("ni,nj->nij", e_dir, e_dir)
+    r_e = jnp.einsum("nij,nj->ni", P_line, pe_w - e_cent)  # (N, 3)
+    J_e = jnp.einsum("nij,njk->nik", P_line, _pose_point_jacobian(q, edge_x))  # (N,3,6)
+    w_e = _huber_w(jnp.linalg.norm(r_e, axis=-1), cfg.huber_delta) * e_ok
+    H_e = jnp.einsum("n,nik,nil->kl", w_e, J_e, J_e)
+    b_e = jnp.einsum("n,nik,ni->k", w_e, J_e, r_e)
+    cost_e = jnp.sum(w_e * jnp.sum(r_e * r_e, axis=-1))
+
+    # plane residual: n . p_w + d
+    ps_w = lie.qrot(q, surf_x) + p
+    r_s = jnp.einsum("ni,ni->n", s_n, ps_w) + s_d  # (N,)
+    J_s = jnp.einsum("ni,nik->nk", s_n, _pose_point_jacobian(q, surf_x))  # (N, 6)
+    w_s = _huber_w(jnp.abs(r_s), cfg.huber_delta) * s_ok
+    H_s = jnp.einsum("n,nk,nl->kl", w_s, J_s, J_s)
+    b_s = jnp.einsum("n,nk,n->k", w_s, J_s, r_s)
+    cost_s = jnp.sum(w_s * r_s * r_s)
+
+    return H_e + H_s, -(b_e + b_s), cost_e + cost_s
+
+
+def scan_to_map(
+    feats: LidarFeatures,
+    edge_map, edge_map_valid, surf_map, surf_map_valid,
+    q_init, p_init, cfg: OdomConfig,
+):
+    """Register a feature scan against the local map (optimation_processing
+    :235-296): n_outer association passes, n_inner damped-GN steps each."""
+
+    def outer_body(_, qp):
+        q, p = qp
+        e_w = lie.qrot(q, feats.edge) + p
+        s_w = lie.qrot(q, feats.surf) + p
+        e_cent, e_dir, e_ok = edge_correspondences(
+            e_w, feats.edge_valid, edge_map, edge_map_valid, cfg)
+        s_n, s_d, s_ok = surf_correspondences(
+            s_w, feats.surf_valid, surf_map, surf_map_valid, cfg)
+
+        def inner_body(_, qp):
+            q, p = qp
+            H, b, _ = _gn_system(
+                q, p, feats.edge, e_cent, e_dir, e_ok.astype(p.dtype),
+                feats.surf, s_n, s_d, s_ok.astype(p.dtype), cfg)
+            H = H + cfg.lm_lambda * jnp.eye(6, dtype=p.dtype) * (1.0 + jnp.diag(H))
+            delta = jnp.linalg.solve(H, b)
+            # trust clip: cap step at 1 m / ~0.5 rad to survive bad inits
+            delta = jnp.clip(delta, -1.0, 1.0)
+            return lie.pose_retract((q, p), delta)
+
+        return jax.lax.fori_loop(0, cfg.n_inner, inner_body, (q, p))
+
+    return jax.lax.fori_loop(0, cfg.n_outer, outer_body, (q_init, p_init))
+
+
+# ---------------------------------------------------------------------------
+# Full odometry step (extract -> predict -> register -> map update)
+# ---------------------------------------------------------------------------
+
+def _update_maps(state: MapState, feats: LidarFeatures, q, p, cfg: OdomConfig):
+    e_w = lie.qrot(q, feats.edge) + p
+    s_w = lie.qrot(q, feats.surf) + p
+    origin = p - cfg.crop_half_extent
+    in_e = jnp.all(jnp.abs(state.edge_map - p) <= cfg.crop_half_extent, axis=-1)
+    in_s = jnp.all(jnp.abs(state.surf_map - p) <= cfg.crop_half_extent, axis=-1)
+    edge_map, edge_valid = voxel_ops.merge_voxel(
+        state.edge_map, state.edge_map_valid & in_e, e_w, feats.edge_valid,
+        cfg.edge_map_voxel, origin, cfg.edge_map_cap)
+    surf_map, surf_valid = voxel_ops.merge_voxel(
+        state.surf_map, state.surf_map_valid & in_s, s_w, feats.surf_valid,
+        cfg.surf_map_voxel, origin, cfg.surf_map_cap)
+    return edge_map, edge_valid, surf_map, surf_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
+                  cfg: OdomConfig = OdomConfig()):
+    """One LiDAR frame: returns (new_state, (q, p, q_rel, p_rel)).
+
+    The relative pose (q_rel, p_rel) between consecutive registered frames is
+    what the reference publishes as /Odometry for the estimator's inter-frame
+    lidar factors (feature_tracker_node.cpp:399-415).
+    """
+    feats = extract_features(points, valid, cfg.lidar)
+
+    # constant-velocity prediction (EstimationMapping.hpp:238-240)
+    q_rel0, p_rel0 = lie.pose_between((state.q_prev, state.p_prev), (state.q, state.p))
+    q_pred, p_pred = lie.pose_compose((state.q, state.p), (q_rel0, p_rel0))
+
+    def register(_):
+        return scan_to_map(
+            feats, state.edge_map, state.edge_map_valid,
+            state.surf_map, state.surf_map_valid, q_pred, p_pred, cfg)
+
+    def first_frame(_):
+        return state.q, state.p
+
+    q_new, p_new = jax.lax.cond(state.frame_count > 0, register, first_frame, None)
+
+    maps = _update_maps(state, feats, q_new, p_new, cfg)
+    new_state = MapState(
+        edge_map=maps[0], edge_map_valid=maps[1],
+        surf_map=maps[2], surf_map_valid=maps[3],
+        q=q_new, p=p_new, q_prev=state.q, p_prev=state.p,
+        frame_count=state.frame_count + 1,
+    )
+    q_rel, p_rel = lie.pose_between((state.q, state.p), (q_new, p_new))
+    return new_state, (q_new, p_new, q_rel, p_rel)

@@ -177,44 +177,102 @@ def project_landmarks(world: LandmarkWorld, R_wb, p_wb, R_bc=np.eye(3), p_bc=np.
     return ids, xy[valid], z[valid]
 
 
-def make_structured_scene(seed: int = 0):
-    """Planes + poles world for LiDAR simulation: returns a callable
-    raycast-free point sampler: sample_points(n) -> (n, 3) world points lying
-    on walls/ground/pillars (gives real planar/edge structure for feature
-    extraction and scan matching tests)."""
-    rng = np.random.default_rng(seed)
+class RaycastScene:
+    """Analytic structured world (ground + walls + cylindrical pillars) with
+    exact ray intersection — produces dense, realistic spinning-LiDAR scans
+    (planar structure on walls/ground, sharp edges on pillars)."""
 
-    def sample_points(n):
-        kinds = rng.integers(0, 4, n)
-        pts = np.zeros((n, 3))
-        # ground plane z = 0
-        m = kinds == 0
-        pts[m] = np.stack([rng.uniform(-10, 120, m.sum()), rng.uniform(-15, 15, m.sum()),
-                           np.zeros(m.sum())], axis=-1)
-        # left wall y = 12
-        m = kinds == 1
-        pts[m] = np.stack([rng.uniform(-10, 120, m.sum()), np.full(m.sum(), 12.0),
-                           rng.uniform(0, 6, m.sum())], axis=-1)
-        # right wall y = -12
-        m = kinds == 2
-        pts[m] = np.stack([rng.uniform(-10, 120, m.sum()), np.full(m.sum(), -12.0),
-                           rng.uniform(0, 6, m.sum())], axis=-1)
-        # pillars (vertical edges)
-        m = kinds == 3
-        k = m.sum()
-        centers = np.stack([rng.integers(0, 12, k) * 10.0, rng.choice([-8.0, 8.0], k)], axis=-1)
-        ang = rng.uniform(0, 2 * np.pi, k)
-        pts[m] = np.stack([centers[:, 0] + 0.15 * np.cos(ang), centers[:, 1] + 0.15 * np.sin(ang),
-                           rng.uniform(0, 5, k)], axis=-1)
-        return pts
+    def __init__(self, wall_y: float = 12.0, wall_h: float = 6.0,
+                 x_lo: float = -10.0, x_hi: float = 120.0,
+                 pillar_r: float = 0.3, pillar_h: float = 5.0, seed: int = 0):
+        self.wall_y = wall_y
+        self.wall_h = wall_h
+        self.x_lo, self.x_hi = x_lo, x_hi
+        self.pillar_r = pillar_r
+        self.pillar_h = pillar_h
+        xs = np.arange(0, 12) * 10.0
+        self.pillars = np.array([[x, s] for x in xs for s in (-8.0, 8.0)])
+        # boxes give x-facing planes (without them forward translation is
+        # unobservable from planar features in a straight corridor)
+        self.boxes = np.array(  # (cx, cy, half_x, half_y, height)
+            [[x, y, 1.0, 1.0, 2.5] for x in (15.0, 45.0, 75.0, 105.0) for y in (-5.0, 5.0)]
+        )
 
-    return sample_points
+    def raycast(self, origins, dirs, max_range=80.0):
+        """origins (N,3), dirs (N,3) unit -> hit range t (N,), inf if miss."""
+        n = len(dirs)
+        t_best = np.full(n, np.inf)
+
+        def consider(t, ok):
+            nonlocal t_best
+            t = np.where(ok & (t > 0.1) & (t < max_range), t, np.inf)
+            t_best = np.minimum(t_best, t)
+
+        o, d = origins, dirs
+        # ground z=0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = -o[:, 2] / d[:, 2]
+            hit = o + t[:, None] * d
+            consider(t, (d[:, 2] != 0) & (hit[:, 0] > self.x_lo) & (hit[:, 0] < self.x_hi)
+                     & (np.abs(hit[:, 1]) < self.wall_y + 1e-6))
+            # walls y = +-wall_y
+            for wy in (self.wall_y, -self.wall_y):
+                t = (wy - o[:, 1]) / d[:, 1]
+                hit = o + t[:, None] * d
+                consider(t, (d[:, 1] != 0) & (hit[:, 2] > 0) & (hit[:, 2] < self.wall_h)
+                         & (hit[:, 0] > self.x_lo) & (hit[:, 0] < self.x_hi))
+            # boxes: axis-aligned faces (x-faces, y-faces, top)
+            for cx, cy, hx, hy, hz in self.boxes:
+                for face_x in (cx - hx, cx + hx):
+                    t = (face_x - o[:, 0]) / np.where(d[:, 0] != 0, d[:, 0], 1e-12)
+                    hit = o + t[:, None] * d
+                    consider(t, (np.abs(d[:, 0]) > 1e-9) & (np.abs(hit[:, 1] - cy) < hy)
+                             & (hit[:, 2] > 0) & (hit[:, 2] < hz))
+                for face_y in (cy - hy, cy + hy):
+                    t = (face_y - o[:, 1]) / np.where(d[:, 1] != 0, d[:, 1], 1e-12)
+                    hit = o + t[:, None] * d
+                    consider(t, (np.abs(d[:, 1]) > 1e-9) & (np.abs(hit[:, 0] - cx) < hx)
+                             & (hit[:, 2] > 0) & (hit[:, 2] < hz))
+                t = (hz - o[:, 2]) / np.where(d[:, 2] != 0, d[:, 2], 1e-12)
+                hit = o + t[:, None] * d
+                consider(t, (np.abs(d[:, 2]) > 1e-9) & (np.abs(hit[:, 0] - cx) < hx)
+                         & (np.abs(hit[:, 1] - cy) < hy))
+            # pillars: |oxy + t dxy - c| = r
+            for c in self.pillars:
+                oc = o[:, :2] - c
+                a = np.sum(d[:, :2] ** 2, axis=-1)
+                b = 2 * np.sum(oc * d[:, :2], axis=-1)
+                cc = np.sum(oc * oc, axis=-1) - self.pillar_r**2
+                disc = b * b - 4 * a * cc
+                ok = (disc > 0) & (a > 1e-12)
+                sq = np.sqrt(np.maximum(disc, 0))
+                t = (-b - sq) / np.maximum(2 * a, 1e-12)
+                hit_z = o[:, 2] + t * d[:, 2]
+                consider(t, ok & (hit_z > 0) & (hit_z < self.pillar_h))
+        return t_best
 
 
-def simulate_lidar_scan(sample_points, R_wb, p_wb, n_points: int = 8192,
-                        max_range: float = 60.0, seed: int = 0):
-    """Body-frame LiDAR scan of the structured scene at the given pose."""
-    pts_w = sample_points(n_points)
-    pts_b = (pts_w - p_wb) @ R_wb
-    rng_ok = np.linalg.norm(pts_b, axis=-1) < max_range
-    return pts_b[rng_ok]
+def simulate_lidar_scan(scene: RaycastScene, R_wb, p_wb, n_scan: int = 32,
+                        width: int = 900, fov_up_deg: float = 30.0,
+                        fov_down_deg: float = -30.0, max_range: float = 80.0,
+                        range_noise: float = 0.0, seed: int = 0):
+    """Spinning-LiDAR scan: (n_scan * width, 3) body-frame points + valid mask.
+
+    Ray grid matches models/lidar_features.LidarConfig's (n_scan, width,
+    fov) so the simulated scan exercises the extractor's ring model exactly.
+    """
+    va = np.deg2rad(np.linspace(fov_up_deg, fov_down_deg, n_scan))
+    az = -np.pi + (np.arange(width) + 0.5) / width * 2 * np.pi
+    VA, AZ = np.meshgrid(va, az, indexing="ij")
+    dirs_b = np.stack(
+        [np.cos(VA) * np.cos(AZ), np.cos(VA) * np.sin(AZ), np.sin(VA)], axis=-1
+    ).reshape(-1, 3)
+    dirs_w = dirs_b @ R_wb.T
+    origins = np.broadcast_to(p_wb, dirs_w.shape)
+    t = scene.raycast(origins, dirs_w, max_range=max_range)
+    if range_noise > 0:
+        rng = np.random.default_rng(seed)
+        t = t + rng.normal(0, range_noise, t.shape)
+    valid = np.isfinite(t)
+    pts_b = dirs_b * np.where(valid, t, 0.0)[:, None]
+    return pts_b.astype(np.float32), valid
