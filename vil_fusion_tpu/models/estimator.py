@@ -1,0 +1,335 @@
+"""Sliding-window visual-inertial-LiDAR estimator (orchestration).
+
+Rebuild of the reference's `Estimator` (estimator.{h,cpp}: processIMU :103-137,
+processImage :139-236, solveOdometry :492-503, slideWindow :1052-1177,
+failureDetection :640-686) and the feature manager (feature_manager.cpp:
+addFeatureCheckParallax :44-105, triangulate :218-270).
+
+Host-side Python orchestrates; all per-frame heavy work (ingestion,
+triangulation, BA, marginalization, sliding) is jitted with fixed shapes.
+The ROS node's callback threads collapse into a single `process_frame` call
+per synchronized (image, lidar, IMU-segment) bundle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vil_fusion_tpu.models import ba, imu as imu_mod, marginalization as marg
+from vil_fusion_tpu.models.window import (
+    D, K, FeatureStore, LidarConstraints, StackedPreint, WindowState,
+    init_features, init_lidar_constraints, init_preint, init_window, make_segment,
+)
+from vil_fusion_tpu.ops import lie
+
+MIN_PARALLAX = 10.0 / 460.0  # parameters.cpp MIN_PARALLAX / FOCAL_LENGTH
+
+
+class EstimatorConfig(NamedTuple):
+    ba: ba.BAConfig = ba.BAConfig()
+    f_cap: int = 128  # feature slots (reference tracks MAX_CNT=200 / frame)
+    imu_cap: int = 64  # IMU samples per inter-frame segment (merge headroom)
+    obs_cap: int = 128  # per-frame feature observations
+    imu_noise: imu_mod.ImuNoise = imu_mod.ImuNoise()
+    min_parallax: float = MIN_PARALLAX
+    min_track_for_nonkey: int = 20  # addFeatureCheckParallax :60
+    tri_min_depth: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# jitted helpers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def propagate_from_segment(state: WindowState, seg_dp, seg_dq, seg_dv, seg_dt,
+                           slot_prev, gravity):
+    """IMU mechanization of the new frame's state from the preintegrated
+    segment (estimator.cpp processIMU world-frame propagation :120-135)."""
+    p_i = state.p[slot_prev]
+    q_i = state.q[slot_prev]
+    v_i = state.v[slot_prev]
+    q_j = lie.qnormalize(lie.qmul(q_i, seg_dq))
+    v_j = v_i - gravity * seg_dt + lie.qrot(q_i, seg_dv)
+    p_j = p_i + v_i * seg_dt - 0.5 * gravity * seg_dt * seg_dt + lie.qrot(q_i, seg_dp)
+    return p_j, q_j, v_j
+
+
+@jax.jit
+def ingest_features(
+    feats: FeatureStore,
+    ids: jnp.ndarray,  # (M,) int32, -1 = empty
+    xy: jnp.ndarray,  # (M, 2)
+    vel: jnp.ndarray,  # (M, 2)
+    depth: jnp.ndarray,  # (M,) lidar depth, <= 0 if none
+    fc: jnp.ndarray,  # scalar int32 current frame slot
+) -> FeatureStore:
+    """Associate incoming per-frame observations with feature slots by id;
+    allocate free slots for new tracks; inject LiDAR depth for new tracks
+    (feature_manager addFeatureCheckParallax :44-79 rebuild)."""
+    F = feats.active.shape[0]
+    M = ids.shape[0]
+    present = ids >= 0
+
+    # --- match against existing slots ---
+    eq = (feats.feat_id[:, None] == ids[None, :]) & feats.active[:, None] & present[None, :]
+    has_match = jnp.any(eq, axis=0)  # (M,)
+    match_slot = jnp.argmax(eq, axis=0)  # (M,)
+
+    # --- allocate slots for new tracks (stable: free slots in order) ---
+    is_new = present & ~has_match
+    free = ~feats.active
+    free_slots = jnp.argsort(~free, stable=True)  # free first
+    n_free = jnp.sum(free)
+    new_rank = jnp.cumsum(is_new) - 1  # (M,)
+    can_alloc = is_new & (new_rank < n_free)
+    alloc_slot = free_slots[jnp.clip(new_rank, 0, F - 1)]
+
+    slot = jnp.where(has_match, match_slot, jnp.where(can_alloc, alloc_slot, F))
+    # scatter with overflow row F
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+    obs = pad(feats.obs).at[slot, fc].set(xy)[:F]
+    ov = pad(feats.obs_valid).at[slot, fc].set(present)[:F]
+    velg = pad(feats.vel).at[slot, fc].set(vel)[:F]
+
+    active = pad(feats.active).at[slot].set(present)[:F]
+    feat_id = pad(feats.feat_id).at[slot].set(jnp.where(present, ids, -1))[:F]
+    start = pad(feats.start).at[slot].set(
+        jnp.where(has_match, pad(feats.start)[slot], fc))[:F]
+    # lidar depth injection for NEW tracks only (depth is anchored at start
+    # frame; reference injects when measured at the track's start,
+    # feature_manager.cpp:74-79)
+    new_depth_val = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-3), -1.0)
+    inv_depth = pad(feats.inv_depth).at[slot].set(
+        jnp.where(has_match, pad(feats.inv_depth)[slot], new_depth_val))[:F]
+    lidar_flag = pad(feats.lidar_flag).at[slot].set(
+        jnp.where(has_match, pad(feats.lidar_flag)[slot], depth > 0))[:F]
+    return FeatureStore(active=active, start=start, obs=obs, obs_valid=ov,
+                        vel=velg, inv_depth=inv_depth, lidar_flag=lidar_flag,
+                        feat_id=feat_id)
+
+
+@jax.jit
+def keyframe_decision(feats: FeatureStore, fc: jnp.ndarray,
+                      min_parallax: float = MIN_PARALLAX,
+                      min_track: int = 20):
+    """True if the SECOND-newest frame is a keyframe
+    (addFeatureCheckParallax :44-105 + compensatedParallax2)."""
+    f2 = jnp.maximum(fc - 2, 0)
+    f1 = jnp.maximum(fc - 1, 0)
+    both = feats.active & feats.obs_valid[:, f2] & feats.obs_valid[:, f1]
+    dp = feats.obs[:, f2] - feats.obs[:, f1]
+    par = jnp.linalg.norm(dp, axis=-1)
+    n_both = jnp.sum(both)
+    mean_par = jnp.sum(jnp.where(both, par, 0.0)) / jnp.maximum(n_both, 1)
+    tracked = jnp.sum(feats.active & feats.obs_valid[:, fc]
+                      & (feats.start < fc))
+    return (fc < 2) | (tracked < min_track) | (n_both == 0) | (mean_par >= min_parallax)
+
+
+@jax.jit
+def triangulate(state: WindowState, feats: FeatureStore,
+                min_depth: float = 0.1) -> FeatureStore:
+    """Multi-view DLT triangulation for features without depth
+    (feature_manager.cpp triangulate :218-270; skips lidar-depthed tracks).
+
+    Anchor camera = camera at start frame; solve A X = 0 with A built from
+    every observation's projective rows, via eigh of A^T A (batched 4x4)."""
+    F = feats.active.shape[0]
+    # camera poses per window slot
+    q_c = lie.qmul(state.q, state.qic[None, :])  # (K, 4)
+    p_c = lie.qrot(state.q, jnp.broadcast_to(state.tic, (K, 3))) + state.p
+
+    def per_feature(start, obs, ov):
+        # T_j<-anchor: x_j = R_cj^T (R_ca x_a + p_ca - p_cj)
+        q_a = q_c[start]
+        p_a = p_c[start]
+        R_rel = lie.q2R(lie.qmul(lie.qconj(q_c), q_a[None, :]))
+        t_rel = lie.qrot(lie.qconj(q_c), p_a[None, :] - p_c)
+        P = jnp.concatenate([R_rel, t_rel[:, :, None]], axis=-1)  # (K, 3, 4)
+        u = obs[:, 0]
+        v = obs[:, 1]
+        row_u = u[:, None] * P[:, 2] - P[:, 0]  # (K, 4)
+        row_v = v[:, None] * P[:, 2] - P[:, 1]
+        w = ov.astype(obs.dtype)
+        A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)  # (2K, 4)
+        AtA = A.T @ A
+        _, vecs = jnp.linalg.eigh(AtA)
+        X = vecs[:, 0]
+        depth = X[2] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
+        return depth, jnp.sum(ov)
+
+    depth, n_obs = jax.vmap(per_feature)(feats.start, feats.obs, feats.obs_valid)
+    need = feats.active & (feats.inv_depth <= 0) & (n_obs >= 2) & ~feats.lidar_flag
+    ok = need & (depth > min_depth) & jnp.isfinite(depth)
+    inv_depth = jnp.where(ok, 1.0 / jnp.maximum(depth, min_depth), feats.inv_depth)
+    return feats._replace(inv_depth=inv_depth)
+
+
+@jax.jit
+def failure_detection(state: WindowState, state_prev_p, state_prev_q) -> jnp.ndarray:
+    """Divergence detector (estimator.cpp failureDetection :640-686):
+    bias norms, translation/z jumps, rotation jump."""
+    big_ba = jnp.linalg.norm(state.ba[K - 1]) > 2.5
+    big_bg = jnp.linalg.norm(state.bg[K - 1]) > 1.0
+    dp = state.p[K - 1] - state_prev_p
+    big_jump = jnp.linalg.norm(dp) > 5.0
+    big_z = jnp.abs(dp[2]) > 1.0
+    dq = lie.qmul(lie.qconj(state_prev_q), state.q[K - 1])
+    big_rot = jnp.linalg.norm(lie.so3_log(dq)) > 0.87  # ~50 deg
+    return big_ba | big_bg | big_jump | big_z | big_rot
+
+
+# ---------------------------------------------------------------------------
+# Host-side estimator
+# ---------------------------------------------------------------------------
+
+class VILEstimator:
+    """Single-controller rebuild of the estimator node (estimator_node.cpp).
+
+    Call `process_frame` once per synchronized bundle. During the filling
+    phase (first K frames) states are propagated by IMU only; once the window
+    is full, every frame runs triangulate -> BA -> marginalize -> slide.
+    """
+
+    def __init__(self, cfg: EstimatorConfig = EstimatorConfig(), dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.window = init_window(dtype)
+        self.feats = init_features(cfg.f_cap, dtype)
+        self.pre = init_preint(cfg.imu_cap, dtype)
+        self.lidar = init_lidar_constraints(dtype)
+        self.prior = ba.empty_prior(self.window)
+        self.frame_count = 0  # host-side (mirrors Estimator::frame_count)
+        self.initialized = False
+        self.failed = False
+        self.gravity = jnp.asarray(cfg.ba.gravity, dtype)
+
+    # -- bootstrap helpers ---------------------------------------------------
+    def set_initial_state(self, p, q, v, ba_=None, bg=None):
+        """Oracle/LiDAR bootstrap: set frame-0 state (init module provides the
+        visual-inertial alignment path)."""
+        z3 = jnp.zeros(3, self.dtype)
+        self.window = self.window._replace(
+            p=self.window.p.at[0].set(jnp.asarray(p, self.dtype)),
+            q=self.window.q.at[0].set(jnp.asarray(q, self.dtype)),
+            v=self.window.v.at[0].set(jnp.asarray(v, self.dtype)),
+            ba=self.window.ba.at[0].set(z3 if ba_ is None else jnp.asarray(ba_, self.dtype)),
+            bg=self.window.bg.at[0].set(z3 if bg is None else jnp.asarray(bg, self.dtype)),
+        )
+        self.initialized = True
+
+    def set_extrinsics(self, qic, tic, td=0.0):
+        self.window = self.window._replace(
+            qic=jnp.asarray(qic, self.dtype), tic=jnp.asarray(tic, self.dtype),
+            td=jnp.asarray(td, self.dtype))
+
+    # -- per-frame processing ------------------------------------------------
+    def _imu_segment(self, acc, gyr, dts, slot):
+        cap = self.cfg.imu_cap
+        n = len(acc)
+        assert n <= cap, f"IMU segment {n} exceeds capacity {cap}"
+        acc_b = np.zeros((cap, 3), np.float32)
+        gyr_b = np.zeros((cap, 3), np.float32)
+        dt_b = np.zeros((cap - 1,), np.float32)
+        if n:
+            acc_b[:n] = acc
+            gyr_b[:n] = gyr
+            acc_b[n:] = acc[-1]
+            gyr_b[n:] = gyr[-1]
+            dt_b[: n - 1] = dts[: n - 1]
+        seg = make_segment(
+            jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
+            jnp.int32(n), self.window.ba[slot], self.window.bg[slot],
+            self.cfg.imu_noise, cap)
+        pre_d = self.pre._asdict()
+        self.pre = StackedPreint(**{k: pre_d[k].at[slot].set(seg[k]) for k in pre_d})
+        return seg
+
+    def process_frame(self, imu_acc, imu_gyr, imu_dt, obs_ids, obs_xy,
+                      obs_vel=None, obs_depth=None, lidar_q_rel=None,
+                      lidar_p_rel=None):
+        """One synchronized frame bundle. Returns (p, q, v) of the newest frame.
+
+        imu_acc/imu_gyr: (n, 3) samples since previous frame (empty for first).
+        obs_ids/obs_xy: per-frame feature observations (normalized plane).
+        lidar_*_rel: relative body pose from LiDAR odometry since prev frame.
+        """
+        cfg = self.cfg
+        fc = min(self.frame_count, K - 1)
+        M = cfg.obs_cap
+
+        # --- IMU segment into slot fc (segment frame fc-1 -> fc) ---
+        if fc > 0 and len(imu_acc):
+            seg = self._imu_segment(imu_acc, imu_gyr, imu_dt, fc)
+            p_j, q_j, v_j = propagate_from_segment(
+                self.window, seg["dp"], seg["dq"], seg["dv"], seg["dt_sum"],
+                jnp.int32(fc - 1), self.gravity)
+            self.window = self.window._replace(
+                p=self.window.p.at[fc].set(p_j),
+                q=self.window.q.at[fc].set(q_j),
+                v=self.window.v.at[fc].set(v_j),
+                ba=self.window.ba.at[fc].set(self.window.ba[fc - 1]),
+                bg=self.window.bg.at[fc].set(self.window.bg[fc - 1]))
+
+        # --- LiDAR relative constraint ---
+        if lidar_q_rel is not None and fc > 0:
+            self.lidar = LidarConstraints(
+                q_rel=self.lidar.q_rel.at[fc].set(jnp.asarray(lidar_q_rel, self.dtype)),
+                p_rel=self.lidar.p_rel.at[fc].set(jnp.asarray(lidar_p_rel, self.dtype)),
+                valid=self.lidar.valid.at[fc].set(True))
+
+        # --- feature ingestion (fixed-capacity padding) ---
+        ids_b = np.full((M,), -1, np.int32)
+        xy_b = np.zeros((M, 2), np.float32)
+        vel_b = np.zeros((M, 2), np.float32)
+        dep_b = np.zeros((M,), np.float32)
+        m = min(len(obs_ids), M)
+        ids_b[:m] = obs_ids[:m]
+        xy_b[:m] = obs_xy[:m]
+        if obs_vel is not None:
+            vel_b[:m] = obs_vel[:m]
+        if obs_depth is not None:
+            dep_b[:m] = obs_depth[:m]
+        self.feats = ingest_features(
+            self.feats, jnp.asarray(ids_b), jnp.asarray(xy_b),
+            jnp.asarray(vel_b), jnp.asarray(dep_b), jnp.int32(fc))
+
+        is_key = bool(keyframe_decision(
+            self.feats, jnp.int32(fc), cfg.min_parallax, cfg.min_track_for_nonkey))
+
+        if self.frame_count < K - 1:
+            self.frame_count += 1
+            return self._current_pose(fc)
+
+        # --- window full: solve ---
+        if self.initialized:
+            prev_p = self.window.p[K - 1]
+            prev_q = self.window.q[K - 1]
+            self.feats = triangulate(self.window, self.feats, cfg.tri_min_depth)
+            self.window, self.feats, cost = ba.optimize(
+                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
+            self.last_cost = float(cost)
+            if bool(failure_detection(self.window, prev_p, prev_q)):
+                self.failed = True
+
+        # --- marginalize + slide ---
+        if is_key:
+            self.prior = marg.marginalize_old(
+                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
+            self.window, self.feats, self.pre, self.lidar = marg.slide_old(
+                self.window, self.feats, self.pre, self.lidar, cfg.imu_noise)
+        else:
+            self.window, self.feats, self.pre, self.lidar = marg.slide_new(
+                self.window, self.feats, self.pre, self.lidar, cfg.imu_noise,
+                cfg.imu_cap)
+            self.prior = marg.marginalize_second_new(self.prior, self.window)
+
+        return self._current_pose(K - 1)
+
+    def _current_pose(self, slot):
+        return (np.asarray(self.window.p[slot]), np.asarray(self.window.q[slot]),
+                np.asarray(self.window.v[slot]))
