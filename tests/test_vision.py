@@ -1,0 +1,197 @@
+"""Visual front-end tests: cameras, detection, KLT, RANSAC, depth association."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vil_fusion_tpu.models import cameras, depth_association, klt, tracker
+from vil_fusion_tpu.ops import image as im
+
+
+def smooth_texture(H, W, seed=0, scale=8):
+    """Continuous random texture: f(y, x) via bilinear interp of a coarse grid."""
+    rng = np.random.default_rng(seed)
+    gh, gw = H // scale + 2, W // scale + 2
+    grid = rng.random((gh, gw))
+
+    def sample(y, x):
+        gy = np.clip(y / scale, 0, gh - 1.001)
+        gx = np.clip(x / scale, 0, gw - 1.001)
+        y0 = gy.astype(int)
+        x0 = gx.astype(int)
+        fy = gy - y0
+        fx = gx - x0
+        return (grid[y0, x0] * (1 - fx) * (1 - fy) + grid[y0, x0 + 1] * fx * (1 - fy)
+                + grid[y0 + 1, x0] * (1 - fx) * fy + grid[y0 + 1, x0 + 1] * fx * fy)
+
+    return sample
+
+
+def render(sample, H, W, shift=(0.0, 0.0)):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    return sample(yy + shift[1], xx + shift[0]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# camera models
+# ---------------------------------------------------------------------------
+
+def _roundtrip(cam, atol_px, half_tan=0.7):
+    rng = np.random.default_rng(1)
+    z = rng.uniform(1.0, 20.0, 200)
+    pts = np.stack([rng.uniform(-half_tan, half_tan, 200) * z,
+                    rng.uniform(-half_tan, half_tan, 200) * z, z], -1)
+    pts = jnp.asarray(pts, jnp.float32)
+    px = cameras.project(cam, pts)
+    ray = cameras.lift(cam, px)
+    px2 = cameras.project(cam, ray)
+    np.testing.assert_allclose(px2, px, atol=atol_px)
+
+
+def test_pinhole_roundtrip():
+    cam = cameras.PinholeCamera(fx=460.0, fy=460.0, cx=320.0, cy=240.0,
+                                k1=-0.28, k2=0.07, p1=1e-4, p2=-2e-5)
+    _roundtrip(cam, 0.1)
+
+
+def test_mei_roundtrip():
+    cam = cameras.MeiCamera(xi=1.0, k1=-0.1, k2=0.02, p1=0.0, p2=0.0,
+                            gamma1=670.0, gamma2=670.0, u0=320.0, v0=240.0)
+    _roundtrip(cam, 0.2)
+
+
+def test_equidistant_roundtrip():
+    cam = cameras.EquidistantCamera(k2=-0.01, k3=0.003, k4=-0.001, k5=0.0002,
+                                    mu=300.0, mv=300.0, u0=320.0, v0=240.0)
+    _roundtrip(cam, 0.1)
+
+
+def test_scaramuzza_roundtrip():
+    # OCamCalib-style poly: z = a0 + a2 rho^2 with a0 < 0 (~ -focal);
+    # lift gives ray (xn, yn, -z). Fit the inverse numerically.
+    a0, a2 = -200.0, 0.002
+    rho = np.linspace(0.5, 300, 400)
+    z_poly = a0 + a2 * rho * rho
+    theta = np.arctan2(z_poly, rho)  # camodocal: theta = atan2(-P_z, |P_xy|)
+    coeff = np.polyfit(theta, rho, 8)[::-1]
+    cam = cameras.ScaramuzzaCamera(poly=(a0, 0.0, a2), inv_poly=tuple(coeff),
+                                   c=1.0, d=0.0, e=0.0, xc=400.0, yc=400.0)
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(100, 3)) * np.array([1.0, 1.0, 0.5])
+    pts[:, 2] = np.abs(pts[:, 2]) + 1.0
+    pts = jnp.asarray(pts, jnp.float32)
+    px = cameras.project(cam, pts)
+    ray = cameras.lift(cam, px)
+    # rays must align with original directions
+    d = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    cos = jnp.sum(d * ray, axis=-1)
+    assert float(jnp.min(cos)) > 0.999
+
+
+# ---------------------------------------------------------------------------
+# detection + tracking
+# ---------------------------------------------------------------------------
+
+def test_detect_features_min_dist_and_mask():
+    H, W = 240, 320
+    img = jnp.asarray(render(smooth_texture(H, W, seed=3), H, W))
+    occ = jnp.zeros((8, 2), jnp.float32)
+    occ_valid = jnp.zeros((8,), bool)
+    xy, valid = im.detect_features(img, occ, occ_valid, max_pts=64, min_dist=20)
+    pts = np.asarray(xy)[np.asarray(valid)]
+    assert len(pts) > 10
+    # pairwise min distance respected (NMS window min_dist//2 => >= min_dist/2)
+    dist = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    np.fill_diagonal(dist, 1e9)
+    assert dist.min() >= 10 - 1e-3
+    # occupied suppression
+    occ = jnp.asarray(pts[:4], jnp.float32)
+    xy2, valid2 = im.detect_features(img, occ, jnp.ones(4, bool), max_pts=64, min_dist=20)
+    pts2 = np.asarray(xy2)[np.asarray(valid2)]
+    d = np.linalg.norm(pts2[:, None] - np.asarray(occ)[None, :], axis=-1)
+    assert d.min() > 20 - 1e-3
+
+
+def test_klt_recovers_known_shift():
+    H, W = 240, 320
+    tex = smooth_texture(H, W, seed=4, scale=6)
+    shift = (7.3, -4.6)
+    img1 = jnp.asarray(render(tex, H, W))
+    img2 = jnp.asarray(render(tex, H, W, shift=shift))  # img2(x) = tex(x+shift)
+    xy, valid = im.detect_features(img1, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+                                   max_pts=48, min_dist=15)
+    pts2, status = klt.track_pyramidal(img1, img2, xy, valid)
+    ok = np.asarray(status)
+    assert ok.sum() > 15
+    flow = np.asarray(pts2)[ok] - np.asarray(xy)[ok]
+    # img2 sampled at (x + shift) means content moves by -shift
+    np.testing.assert_allclose(flow.mean(0), [-shift[0], -shift[1]], atol=0.25)
+    assert np.abs(flow - flow.mean(0)).max() < 1.0
+
+
+def test_ransac_fundamental_rejects_outliers():
+    rng = np.random.default_rng(5)
+    n = 200
+    pts3 = rng.uniform([-5, -5, 4], [5, 5, 20], (n, 3))
+    R = np.eye(3)
+    t = np.array([0.5, 0.1, 0.0])
+    x1 = (pts3[:, :2] / pts3[:, 2:3]).astype(np.float32)
+    p2 = (pts3 - t) @ R
+    x2 = (p2[:, :2] / p2[:, 2:3]).astype(np.float32)
+    # corrupt 30% with gross errors
+    n_out = 60
+    out_idx = rng.choice(n, n_out, replace=False)
+    x2_c = x2.copy()
+    x2_c[out_idx] += rng.uniform(0.05, 0.2, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    inl, F = klt.ransac_fundamental(
+        jnp.asarray(x1), jnp.asarray(x2_c), jnp.ones(n, bool),
+        jax.random.PRNGKey(0))
+    inl = np.asarray(inl)
+    is_out = np.zeros(n, bool)
+    is_out[out_idx] = True
+    assert inl[~is_out].mean() > 0.9, "inliers wrongly rejected"
+    assert inl[is_out].mean() < 0.1, "outliers wrongly accepted"
+
+
+def test_tracker_two_frames_end_to_end():
+    H, W = 240, 320
+    tex = smooth_texture(H, W, seed=6, scale=6)
+    img1 = jnp.asarray(render(tex, H, W))
+    img2 = jnp.asarray(render(tex, H, W, shift=(3.0, 2.0)))
+    cam = cameras.PinholeCamera(fx=300.0, fy=300.0, cx=W / 2, cy=H / 2)
+    cfg = tracker.TrackerConfig(max_cnt=60, min_dist=20, cap=128, ransac=False)
+    st = tracker.init_tracker(H, W, cfg)
+    st, obs1 = tracker.track_step(st, img1, jnp.float32(0.0), cam, cfg)
+    n1 = int(obs1["valid"].sum())
+    assert n1 >= 30
+    st, obs2 = tracker.track_step(st, img2, jnp.float32(0.1), cam, cfg)
+    # ids persist for tracked features
+    ids1 = set(np.asarray(obs1["ids"])[np.asarray(obs1["valid"])].tolist())
+    surv = np.asarray(obs2["valid"]) & (np.asarray(obs2["track_cnt"]) > 1)
+    ids2 = set(np.asarray(obs2["ids"])[surv].tolist())
+    assert len(ids2 & ids1) > 20
+    # velocity consistent with -shift/dt in normalized units
+    vel = np.asarray(obs2["vel"])[surv]
+    expect = np.array([-3.0 / 300.0 / 0.1, -2.0 / 300.0 / 0.1])
+    np.testing.assert_allclose(vel.mean(0), expect, atol=0.02)
+
+
+def test_feature_depth_association():
+    rng = np.random.default_rng(7)
+    # cloud: dense plane z = 10 in camera frame
+    m = 2000
+    cloud = np.stack([rng.uniform(-6, 6, m), rng.uniform(-4, 4, m),
+                      np.full(m, 10.0)], -1).astype(np.float32)
+    feats = rng.uniform(-0.3, 0.3, (20, 2)).astype(np.float32)
+    depth, ok = depth_association.feature_depth(
+        jnp.asarray(feats), jnp.ones(20, bool),
+        jnp.asarray(cloud), jnp.ones(m, bool))
+    ok = np.asarray(ok)
+    assert ok.sum() >= 18
+    np.testing.assert_allclose(np.asarray(depth)[ok], 10.0, atol=0.2)
+    # features far outside the cloud FOV must be rejected
+    far = np.full((4, 2), 5.0, np.float32)
+    d2, ok2 = depth_association.feature_depth(
+        jnp.asarray(far), jnp.ones(4, bool), jnp.asarray(cloud), jnp.ones(m, bool))
+    # spread/clamp gates may pass, but depth must not be fabricated beyond
+    # the NN band; rays at 45+ deg miss the plane patch entirely
+    assert np.asarray(d2).max() <= 15.0

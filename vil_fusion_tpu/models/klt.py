@@ -1,0 +1,168 @@
+"""Pyramidal Lucas-Kanade tracking + batched RANSAC fundamental matrix.
+
+Rebuild of the reference tracker's core algorithms
+(feature_tracker.cpp: cv::calcOpticalFlowPyrLK(21x21, 3 levels) :151,
+rejectWithF (lift -> virtual pinhole -> FM_RANSAC, 1 px) :383-420).
+
+TPU-first: one vmapped LK solver over all features (each feature is a 2x2
+normal system per iteration — pure VPU work), fixed pyramid levels and
+iteration counts; RANSAC as a fixed batch of hypotheses solved with batched
+eigh + argmax (no early exit — SURVEY.md §7 "RANSAC/PnP control flow").
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vil_fusion_tpu.ops import image as im
+
+
+@functools.partial(jax.jit, static_argnames=("win_radius", "iters", "levels"))
+def track_pyramidal(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    pts: jnp.ndarray,  # (N, 2) positions in img1
+    valid: jnp.ndarray,  # (N,)
+    win_radius: int = 10,  # 21x21 window like the reference
+    iters: int = 10,
+    levels: int = 4,
+):
+    """Track pts from img1 to img2. Returns (new_pts (N, 2), status (N,))."""
+    dtype = img1.dtype
+    pyr1 = im.build_pyramid(img1, levels)
+    pyr2 = im.build_pyramid(img2, levels)
+    grads1 = [im.sobel(p) for p in pyr1]
+
+    r = win_radius
+    d = jnp.arange(-r, r + 1, dtype=dtype)
+    offs = jnp.stack(jnp.meshgrid(d, d, indexing="xy"), axis=-1).reshape(-1, 2)  # (P, 2)
+
+    guess = pts / (2.0 ** (levels - 1))
+
+    for lvl in range(levels - 1, -1, -1):
+        scale = 2.0 ** lvl
+        p1_l = pts / scale
+        i1 = pyr1[lvl]
+        ix1, iy1 = grads1[lvl]
+        i2 = pyr2[lvl]
+
+        def track_one(p1, g):
+            coords1 = p1[None, :] + offs
+            t, inb1 = im.bilinear_sample(i1, coords1)
+            gx, _ = im.bilinear_sample(ix1, coords1)
+            gy, _ = im.bilinear_sample(iy1, coords1)
+            w = inb1.astype(dtype)
+            gxx = jnp.sum(w * gx * gx)
+            gxy = jnp.sum(w * gx * gy)
+            gyy = jnp.sum(w * gy * gy)
+            det = gxx * gyy - gxy * gxy
+            ok = det > 1e-8
+            inv = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-8), 0.0)
+
+            def body(_, p2):
+                cur, inb2 = im.bilinear_sample(i2, p2[None, :] + offs)
+                e = (t - cur) * w * inb2.astype(dtype)
+                bx = jnp.sum(gx * e)
+                by = jnp.sum(gy * e)
+                dx = inv * (gyy * bx - gxy * by)
+                dy = inv * (-gxy * bx + gxx * by)
+                return p2 + jnp.stack([dx, dy])
+
+            p2 = jax.lax.fori_loop(0, iters, body, g)
+            return p2, ok
+
+        guess, g_ok = jax.vmap(track_one)(p1_l, guess)
+        if lvl > 0:
+            guess = guess * 2.0
+
+    H, W = img1.shape
+    inb = ((guess[:, 0] >= 1) & (guess[:, 0] < W - 1)
+           & (guess[:, 1] >= 1) & (guess[:, 1] < H - 1))
+    # final appearance check: mean abs residual over the window
+    def resid(p1, p2):
+        t, _ = im.bilinear_sample(pyr1[0], p1[None, :] + offs)
+        c, _ = im.bilinear_sample(pyr2[0], p2[None, :] + offs)
+        return jnp.mean(jnp.abs(t - c))
+
+    res = jax.vmap(resid)(pts, guess)
+    status = valid & g_ok & inb & (res < 0.25)
+    return guess, status
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "thresh_px", "focal"))
+def ransac_fundamental(
+    x1: jnp.ndarray,  # (N, 2) normalized-plane coords, frame 1
+    x2: jnp.ndarray,  # (N, 2) frame 2
+    valid: jnp.ndarray,  # (N,)
+    key: jnp.ndarray,
+    n_hyp: int = 128,
+    thresh_px: float = 1.0,  # F_THRESHOLD (reference rejectWithF)
+    focal: float = 460.0,  # virtual pinhole focal (rejectWithF :395)
+):
+    """Batched 8-point RANSAC; returns (inlier_mask (N,), best_F (3, 3)).
+
+    Fixed hypothesis count + argmax instead of adaptive early exit."""
+    N = x1.shape[0]
+    dtype = x1.dtype
+    # virtual pinhole pixels (translation drops out of F estimation)
+    p1 = x1 * focal
+    p2 = x2 * focal
+
+    # biased random permutations: valid points first
+    u = jax.random.uniform(key, (n_hyp, N))
+    order = jnp.argsort(u - 10.0 * valid[None, :].astype(dtype), axis=1)
+    sel = order[:, :8]  # (B, 8)
+
+    a1 = p1[sel]  # (B, 8, 2)
+    a2 = p2[sel]
+
+    def hartley(p):
+        c = p.mean(axis=1, keepdims=True)
+        s = jnp.sqrt(2.0) / (jnp.linalg.norm(p - c, axis=-1).mean(axis=1, keepdims=True) + 1e-9)
+        return (p - c) * s[..., None], c[:, 0], s[:, 0]
+
+    n1, c1, s1 = hartley(a1)
+    n2, c2, s2 = hartley(a2)
+
+    def rows(q1, q2):
+        x1_, y1_ = q1[..., 0], q1[..., 1]
+        x2_, y2_ = q2[..., 0], q2[..., 1]
+        one = jnp.ones_like(x1_)
+        return jnp.stack([x2_ * x1_, x2_ * y1_, x2_, y2_ * x1_, y2_ * y1_, y2_,
+                          x1_, y1_, one], axis=-1)
+
+    A = rows(n1, n2)  # (B, 8, 9)
+    AtA = jnp.einsum("bri,brj->bij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    f = vecs[..., 0]  # (B, 9)
+    Fn = f.reshape(-1, 3, 3)
+    # rank-2 projection
+    U, S, Vt = jnp.linalg.svd(Fn)
+    S = S.at[:, 2].set(0.0)
+    Fn = U @ (S[:, :, None] * Vt)
+    # denormalize: F = T2^T Fn T1  with T = [[s,0,-s cx],[0,s,-s cy],[0,0,1]]
+    def make_T(c, s):
+        B = c.shape[0]
+        T = jnp.zeros((B, 3, 3), dtype)
+        T = T.at[:, 0, 0].set(s).at[:, 1, 1].set(s).at[:, 2, 2].set(1.0)
+        T = T.at[:, 0, 2].set(-s * c[:, 0]).at[:, 1, 2].set(-s * c[:, 1])
+        return T
+
+    T1 = make_T(c1, s1)
+    T2 = make_T(c2, s2)
+    F = jnp.swapaxes(T2, 1, 2) @ Fn @ T1  # (B, 3, 3)
+
+    # Sampson distance of ALL points under each hypothesis
+    ph1 = jnp.concatenate([p1, jnp.ones((N, 1), dtype)], axis=-1)  # (N, 3)
+    ph2 = jnp.concatenate([p2, jnp.ones((N, 1), dtype)], axis=-1)
+    Fx1 = jnp.einsum("bij,nj->bni", F, ph1)
+    Ftx2 = jnp.einsum("bji,nj->bni", F, ph2)
+    num = jnp.einsum("ni,bni->bn", ph2, Fx1) ** 2
+    den = Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    d2 = num / jnp.maximum(den, 1e-12)  # (B, N)
+    inl = (d2 < thresh_px**2) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return inl[best], F[best]

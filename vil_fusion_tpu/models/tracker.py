@@ -1,0 +1,187 @@
+"""Visual feature tracker: KLT tracking + Shi-Tomasi refill + RANSAC gating.
+
+Rebuild of the reference's `FeatureTracker`
+(reference: src/visual_inertial_lidar/feature_tracker/feature_tracker.cpp:
+readImage :119-209, rejectWithF :383-420, setMask :36-71, undistortedPoints
+:556-604) and the mask-gated dynamic-scene variant (readImage_mask :212-381,
+rejectWithF_mask :423-500).
+
+Fixed-capacity slot store (cap features), jitted track/detect/gate steps,
+camera model dispatched statically. The reference's per-frame dynamic vectors
+become masked arrays; its id counter and track lengths are carried in the
+state pytree.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vil_fusion_tpu.models import cameras, klt
+from vil_fusion_tpu.ops import image as im
+
+
+class TrackerConfig(NamedTuple):
+    max_cnt: int = 150  # MAX_CNT (kitti_config max_cnt)
+    min_dist: int = 30  # MIN_DIST
+    cap: int = 256  # feature slots
+    use_clahe: bool = False  # EQUALIZE
+    ransac: bool = True
+    f_thresh_px: float = 1.0  # F_THRESHOLD
+    focal: float = 460.0
+    mask_gate: bool = False  # dynamic-scene (Mask-RCNN) variant
+    epipolar_reject_px: float = 1.0  # rejectWithF_mask :486 threshold
+
+
+class TrackerState(NamedTuple):
+    prev_img: jnp.ndarray  # (H, W)
+    xy: jnp.ndarray  # (cap, 2) pixel positions in prev_img
+    valid: jnp.ndarray  # (cap,)
+    ids: jnp.ndarray  # (cap,) int32
+    track_cnt: jnp.ndarray  # (cap,) int32
+    prev_und: jnp.ndarray  # (cap, 2) normalized coords
+    next_id: jnp.ndarray  # () int32
+    prev_time: jnp.ndarray  # ()
+    initialized: jnp.ndarray  # () bool
+
+
+def init_tracker(height: int, width: int, cfg: TrackerConfig, dtype=jnp.float32) -> TrackerState:
+    return TrackerState(
+        prev_img=jnp.zeros((height, width), dtype),
+        xy=jnp.zeros((cfg.cap, 2), dtype),
+        valid=jnp.zeros((cfg.cap,), bool),
+        ids=jnp.full((cfg.cap,), -1, jnp.int32),
+        track_cnt=jnp.zeros((cfg.cap,), jnp.int32),
+        prev_und=jnp.zeros((cfg.cap, 2), dtype),
+        next_id=jnp.zeros((), jnp.int32),
+        prev_time=jnp.zeros((), dtype),
+        initialized=jnp.zeros((), bool),
+    )
+
+
+def _undistort(cam, xy):
+    ray = cameras.lift(cam, xy)
+    z = jnp.maximum(ray[..., 2], 1e-6)
+    return ray[..., :2] / z[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def track_step(
+    state: TrackerState,
+    img: jnp.ndarray,
+    t: jnp.ndarray,
+    cam,
+    cfg: TrackerConfig,
+    dyn_mask: Optional[jnp.ndarray] = None,  # (H, W) True = dynamic object
+    key: jnp.ndarray = None,
+):
+    """One frame: returns (new_state, obs) where obs is a dict with per-slot
+    ids/valid/uv pixels/normalized xy/velocity (readImage :119-209 pipeline)."""
+    dtype = img.dtype
+    if cfg.use_clahe:
+        img_p = im.clahe_like(img)
+    else:
+        img_p = img
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    H, W = img.shape
+    cap = cfg.cap
+
+    def do_track(_):
+        pts2, status = klt.track_pyramidal(state.prev_img, img_p, state.xy, state.valid)
+        return pts2, status & state.valid
+
+    def no_track(_):
+        return state.xy, jnp.zeros_like(state.valid)
+
+    pts2, tracked = jax.lax.cond(state.initialized, do_track, no_track, None)
+
+    # dynamic-object gating (readImage_mask :270-310): drop tracked points on
+    # the (eroded) mask
+    if cfg.mask_gate and dyn_mask is not None:
+        er = 1.0 - im.max_pool_same(dyn_mask.astype(dtype), 5)  # erode free-space 5px
+        mval, _ = im.bilinear_sample(er, pts2)
+        on_clean = mval > 0.5
+    else:
+        on_clean = jnp.ones((cap,), bool)
+
+    # border rejection (inBorder :exists in readImage)
+    inb = ((pts2[:, 0] >= 1) & (pts2[:, 0] < W - 2)
+           & (pts2[:, 1] >= 1) & (pts2[:, 1] < H - 2))
+    tracked = tracked & inb
+
+    # fundamental-matrix RANSAC on undistorted coords (rejectWithF :383-420)
+    und_prev = _undistort(cam, state.xy)
+    und_cur = _undistort(cam, pts2)
+    if cfg.ransac:
+        fit_mask = tracked & on_clean  # mask variant: F from clean points only
+        inl, F = klt.ransac_fundamental(
+            und_prev, und_cur, fit_mask, key,
+            thresh_px=cfg.f_thresh_px, focal=cfg.focal)
+        n_fit = jnp.sum(fit_mask)
+        if cfg.mask_gate:
+            # epipolar rejection of ALL tracked points vs the clean-F
+            # (rejectWithF_mask :423-500 kills "hidden" dynamic points)
+            ph1 = jnp.concatenate([und_prev * cfg.focal, jnp.ones((cap, 1), dtype)], -1)
+            ph2 = jnp.concatenate([und_cur * cfg.focal, jnp.ones((cap, 1), dtype)], -1)
+            Fx1 = ph1 @ F.T
+            Ftx2 = ph2 @ F
+            d2 = (jnp.sum(ph2 * Fx1, -1) ** 2 /
+                  jnp.maximum(Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2
+                              + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2, 1e-12))
+            epi_ok = d2 < cfg.epipolar_reject_px**2
+            tracked = tracked & epi_ok & on_clean
+        else:
+            tracked = tracked & jnp.where(n_fit >= 8, inl, tracked)
+    else:
+        tracked = tracked & on_clean
+
+    track_cnt = jnp.where(tracked, state.track_cnt + 1, 0)
+
+    # --- refill with new detections (setMask + goodFeaturesToTrack) ---
+    n_tracked = jnp.sum(tracked)
+    occupied = pts2
+    det_xy, det_ok = im.detect_features(
+        img_p, occupied, tracked, max_pts=cap, min_dist=cfg.min_dist)
+    if cfg.mask_gate and dyn_mask is not None:
+        dval, _ = im.bilinear_sample(dyn_mask.astype(dtype), det_xy)
+        det_ok = det_ok & (dval < 0.5)
+    budget = jnp.maximum(cfg.max_cnt - n_tracked, 0)
+    det_rank = jnp.cumsum(det_ok) - 1
+    det_take = det_ok & (det_rank < budget)
+
+    # allocate free slots for new detections
+    free = ~tracked
+    free_slots = jnp.argsort(~free, stable=True)
+    n_free = jnp.sum(free)
+    new_rank = jnp.cumsum(det_take) - 1
+    can = det_take & (new_rank < n_free)
+    slot = jnp.where(can, free_slots[jnp.clip(new_rank, 0, cap - 1)], cap)
+
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+    xy_new = pad(pts2).at[slot].set(det_xy)[:cap]
+    valid_new = pad(tracked).at[slot].set(det_take)[:cap]
+    new_ids_vals = state.next_id + new_rank.astype(jnp.int32)
+    ids_new = pad(jnp.where(tracked, state.ids, -1)).at[slot].set(
+        jnp.where(can, new_ids_vals, -1))[:cap]
+    cnt_new = pad(track_cnt).at[slot].set(1)[:cap]
+    next_id = state.next_id + jnp.sum(can).astype(jnp.int32)
+
+    und_new = _undistort(cam, xy_new)
+    dt = jnp.maximum(t - state.prev_time, 1e-6)
+    was_tracked = pad(tracked).at[slot].set(False)[:cap]
+    prev_und_for = pad(und_cur * 0 + state.prev_und).at[slot].set(0.0)[:cap]
+    vel = jnp.where(
+        (was_tracked & state.initialized)[:, None],
+        (und_new - prev_und_for) / dt, 0.0)
+
+    new_state = TrackerState(
+        prev_img=img_p, xy=xy_new, valid=valid_new, ids=ids_new,
+        track_cnt=cnt_new, prev_und=und_new, next_id=next_id,
+        prev_time=jnp.asarray(t, dtype), initialized=jnp.ones((), bool))
+    obs = dict(ids=jnp.where(valid_new, ids_new, -1), valid=valid_new,
+               uv=xy_new, xy=und_new, vel=vel, track_cnt=cnt_new)
+    return new_state, obs

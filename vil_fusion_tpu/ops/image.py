@@ -1,0 +1,149 @@
+"""Image operations for the visual front end (pure jnp/lax, TPU-friendly).
+
+Replaces the OpenCV primitives the reference's tracker uses
+(feature_tracker.cpp: cv::calcOpticalFlowPyrLK :151, cv::goodFeaturesToTrack
+:190, cv::CLAHE :125-131): pyramids via average pooling, gradients via Sobel
+convs, patch gathers via vectorized bilinear sampling, NMS via reduce_window —
+all static-shape, batched over features.
+
+Convention: grayscale images (H, W) float32; points are (x, y) = (col, row).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray):
+    """Sample img (H, W) at xy (..., 2) float positions; clamps to border.
+
+    Returns (values (...,), in_bounds (...,))."""
+    H, W = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    inb = (x >= 0) & (x <= W - 1.001) & (y >= 0) & (y <= H - 1.001)
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    val = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+           + v10 * (1 - fx) * fy + v11 * fx * fy)
+    return val, inb
+
+
+def _conv2(img, kernel):
+    return jax.lax.conv_general_dilated(
+        img[None, None], kernel[None, None].astype(img.dtype),
+        window_strides=(1, 1), padding="SAME")[0, 0]
+
+
+def sobel(img: jnp.ndarray):
+    """(Ix, Iy) Sobel gradients, scaled 1/8 (derivative of intensity/px)."""
+    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
+    ky = kx.T
+    return _conv2(img, kx), _conv2(img, ky)
+
+
+def box_filter(img: jnp.ndarray, radius: int):
+    """Sum over (2r+1)^2 window via two 1-D convolutions."""
+    k = jnp.ones((2 * radius + 1,), img.dtype)
+    tmp = jax.lax.conv_general_dilated(
+        img[None, None], k[None, None, None, :], (1, 1), "SAME")[0, 0]
+    return jax.lax.conv_general_dilated(
+        tmp[None, None], k[None, None, :, None], (1, 1), "SAME")[0, 0]
+
+
+def avg_pool2(img: jnp.ndarray):
+    """2x2 average pooling (pyramid downsample)."""
+    H, W = img.shape
+    return img[: H // 2 * 2, : W // 2 * 2].reshape(H // 2, 2, W // 2, 2).mean((1, 3))
+
+
+def build_pyramid(img: jnp.ndarray, levels: int):
+    """[img, img/2, img/4, ...] — cv::buildOpticalFlowPyramid analog."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(avg_pool2(pyr[-1]))
+    return pyr
+
+
+def max_pool_same(img: jnp.ndarray, radius: int):
+    return jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max,
+        (2 * radius + 1, 2 * radius + 1), (1, 1), "SAME")
+
+
+def shi_tomasi_response(img: jnp.ndarray, window_radius: int = 1):
+    """Min-eigenvalue of the structure tensor (goodFeaturesToTrack score)."""
+    ix, iy = sobel(img)
+    a = box_filter(ix * ix, window_radius)
+    b = box_filter(ix * iy, window_radius)
+    c = box_filter(iy * iy, window_radius)
+    tr = a + c
+    det_part = jnp.sqrt(jnp.maximum((a - c) ** 2 + 4 * b * b, 0.0))
+    return 0.5 * (tr - det_part)
+
+
+def clahe_like(img: jnp.ndarray, grid: int = 8, clip: float = 0.03):
+    """Cheap local contrast normalization standing in for cv::CLAHE
+    (feature_tracker.cpp:125-131): per-tile mean/std normalization blended
+    bilinearly — preserves the tracker-relevant property (gradient
+    equalization in dark regions) with pure tensor ops."""
+    H, W = img.shape
+    th, tw = H // grid, W // grid
+    tiles = img[: th * grid, : tw * grid].reshape(grid, th, grid, tw)
+    mean = tiles.mean((1, 3))
+    std = tiles.std((1, 3)) + clip
+    mean_up = jax.image.resize(mean, (H, W), "linear")
+    std_up = jax.image.resize(std, (H, W), "linear")
+    out = (img - mean_up) / std_up
+    return (out - out.min()) / (out.max() - out.min() + 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("max_pts", "min_dist", "block"))
+def detect_features(
+    img: jnp.ndarray,
+    occupied_xy: jnp.ndarray,  # (M, 2) existing feature positions
+    occupied_valid: jnp.ndarray,  # (M,)
+    max_pts: int,
+    min_dist: int = 30,
+    quality: float = 0.01,
+    block: int = 3,
+):
+    """Shi-Tomasi corners with min-dist suppression and existing-track masking
+    (FeatureTracker::setMask :36-71 + goodFeaturesToTrack :190).
+
+    Returns (xy (max_pts, 2), valid (max_pts,)).
+    """
+    H, W = img.shape
+    resp = shi_tomasi_response(img, block // 2)
+    # mask borders (BORDER_SIZE=1 in reference; use min_dist/3 for safety)
+    r = jnp.arange(H)[:, None]
+    c = jnp.arange(W)[None, :]
+    border = 8
+    resp = jnp.where((r < border) | (r >= H - border) | (c < border) | (c >= W - border),
+                     -1.0, resp)
+    # suppress around existing features: splat + dilate
+    occ = jnp.zeros((H, W), img.dtype)
+    ox = jnp.clip(occupied_xy[:, 0].astype(jnp.int32), 0, W - 1)
+    oy = jnp.clip(occupied_xy[:, 1].astype(jnp.int32), 0, H - 1)
+    occ = occ.at[oy, ox].max(occupied_valid.astype(img.dtype))
+    occ = max_pool_same(occ, min_dist)
+    resp = jnp.where(occ > 0, -1.0, resp)
+    # quality gate relative to max response
+    resp = jnp.where(resp > quality * jnp.max(resp), resp, -1.0)
+    # min-dist NMS between new detections: local-max over min_dist window
+    pooled = max_pool_same(resp, min_dist // 2)
+    resp = jnp.where(resp >= pooled, resp, -1.0)
+    flat = resp.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_pts)
+    xy = jnp.stack([(idx % W).astype(img.dtype), (idx // W).astype(img.dtype)], axis=-1)
+    return xy, vals > 0
