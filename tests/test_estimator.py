@@ -103,3 +103,59 @@ def test_estimator_with_noise():
     errs, est = run_sequence(n_frames=20, with_lidar=True,
                              pix_noise=0.5 / 460.0, seed=3)
     assert errs[10:].max() < 0.15, errs
+
+
+@pytest.mark.slow
+def test_estimator_cold_start_initialization():
+    """No oracle state: the estimator must self-initialize (SfM + IMU
+    alignment) once the window fills, then track in its own gravity-aligned
+    frame. Compare against ground truth after 4-dof (yaw+translation)
+    alignment at the init epoch."""
+    from vil_fusion_tpu.ops import lie as lie_ops
+
+    rng = np.random.default_rng(11)
+    traj = sim.Trajectory()
+    world = sim.LandmarkWorld(n=400, seed=11)
+    cfg = est_mod.EstimatorConfig(ba=ba.BAConfig(use_lidar=False, max_iters=8))
+    est = est_mod.VILEstimator(cfg)
+    est.set_extrinsics(qic=sim.R_to_q(R_BC), tic=np.zeros(3))
+
+    t0 = 1.0
+    frame_dt = 0.15
+    n_frames = 22
+    results = []
+    prev_ids = set()
+    for i in range(n_frames):
+        t = t0 + i * frame_dt
+        if i == 0:
+            acc = gyr = np.zeros((0, 3)); dts = np.zeros((0,))
+        else:
+            ts_i, acc, gyr = sim.simulate_imu(traj, t - frame_dt, t, IMU_RATE)
+            dts = np.diff(ts_i)
+        ids, xy, z = sim.project_landmarks(
+            world, traj.rotation(t), traj.position(t), R_bc=R_BC)
+        sel = select_tracked(ids.tolist(), prev_ids)
+        ids, xy = ids[sel], xy[sel]
+        prev_ids = set(ids.tolist())
+        p_est, q_est, v_est = est.process_frame(acc, gyr, dts, ids, xy)
+        results.append((t, p_est, q_est, est.initialized))
+
+    init_frame = next(i for i, r in enumerate(results) if r[3])
+    assert init_frame <= window.K + 1, "initialization too late"
+    # alignment: estimated world -> true world via the pose at init epoch
+    t_i, p_i, q_i, _ = results[init_frame]
+    # estimated frame of the CURRENT newest at init == body at t_i
+    R_w_est = np.asarray(lie_ops.q2R(jnp.asarray(q_i, jnp.float32)))
+    R_w_gt = traj.rotation(t_i)
+    # yaw-only alignment (pitch/roll observable via gravity)
+    R_align = R_w_gt @ R_w_est.T
+    ypr = np.asarray(lie_ops.R2ypr(jnp.asarray(R_align, jnp.float32)))
+    R_align = np.asarray(lie_ops.ypr2R(jnp.asarray([ypr[0], 0.0, 0.0], jnp.float32)))
+    p_off = traj.position(t_i) - R_align @ np.asarray(p_i)
+    errs = []
+    for t, p_e, q_e, _ in results[init_frame:]:
+        p_aligned = R_align @ np.asarray(p_e) + p_off
+        errs.append(np.linalg.norm(p_aligned - traj.position(t)))
+    errs = np.array(errs)
+    assert errs.max() < 0.30, errs
+    assert errs[-1] < 0.20, errs

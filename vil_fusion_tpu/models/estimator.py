@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vil_fusion_tpu.models import ba, imu as imu_mod, marginalization as marg
+from vil_fusion_tpu.models import ba, imu as imu_mod, initialization as init_mod, marginalization as marg
 from vil_fusion_tpu.models.window import (
     D, K, FeatureStore, LidarConstraints, StackedPreint, WindowState,
     init_features, init_lidar_constraints, init_preint, init_window, make_segment,
@@ -305,6 +305,10 @@ class VILEstimator:
             self.frame_count += 1
             return self._current_pose(fc)
 
+        # --- cold start: visual-inertial initialization (initialStructure) ---
+        if not self.initialized:
+            self._try_initialize()
+
         # --- window full: solve ---
         if self.initialized:
             prev_p = self.window.p[K - 1]
@@ -329,6 +333,92 @@ class VILEstimator:
             self.prior = marg.marginalize_second_new(self.prior, self.window)
 
         return self._current_pose(K - 1)
+
+    def _try_initialize(self) -> bool:
+        """Cold-start init (estimator.cpp initialStructure :237-381 +
+        visualInitialAlign :383-459): SfM over the window, gyro-bias solve,
+        re-preintegration, linear alignment, gravity-frame alignment."""
+        cfg = self.cfg
+        import jax.random as jrandom
+
+        # IMU excitation check (:244-263): enough acceleration variance
+        dv_norm = np.asarray(jnp.linalg.norm(self.pre.dv, axis=-1))
+        dt_sum = np.asarray(self.pre.dt_sum)
+        valid_seg = np.asarray(self.pre.valid)
+        mean_g = dv_norm[valid_seg] / np.maximum(dt_sum[valid_seg], 1e-6)
+        if valid_seg.sum() < K - 1 or np.std(mean_g) < 0.15:
+            return False
+
+        sfm, pts_w, pts_ok = init_mod.global_sfm(
+            self.feats.obs, self.feats.obs_valid & self.feats.active[:, None],
+            jrandom.PRNGKey(self.frame_count))
+        if not bool(sfm.ok):
+            return False
+
+        qic = self.window.qic
+        tic = self.window.tic
+        # body rotations in the SfM (cam-l) frame
+        q_b = lie.qnormalize(lie.qmul(sfm.q, lie.qconj(qic)[None, :]))
+
+        # gyro bias from rotation-only preintegration, then re-preintegrate
+        dbg = init_mod.solve_gyro_bias(
+            sfm.q, qic, self.pre.dq, self.pre.jac[:, 3:6, 12:15], self.pre.valid)
+        if not np.all(np.isfinite(np.asarray(dbg))):
+            return False
+        self._repropagate(jnp.zeros(3, self.dtype), dbg)
+
+        v_b, g_est, s = init_mod.linear_alignment(
+            q_b, sfm.p, self.pre.dp, self.pre.dv, self.pre.dt_sum,
+            self.pre.valid, tic)
+        g_norm = float(jnp.linalg.norm(jnp.asarray(cfg.ba.gravity)))
+        if abs(float(jnp.linalg.norm(g_est)) - g_norm) > 1.5 or float(s) < 0:
+            return False
+        g_ref, v_b, s = init_mod.refine_gravity(
+            q_b, sfm.p, self.pre.dp, self.pre.dv, self.pre.dt_sum,
+            self.pre.valid, tic, g_est, g_norm)
+        s = float(s)
+        if s <= 0:
+            return False
+
+        # ---- visualInitialAlign: rotate everything into the gravity frame ----
+        R0 = lie.g2R(g_ref)  # cam-l frame -> gravity-aligned world
+        ypr0 = lie.R2ypr(R0 @ lie.q2R(q_b[0]))
+        R_fix = lie.ypr2R(jnp.stack([-ypr0[0], jnp.zeros_like(ypr0[0]),
+                                     jnp.zeros_like(ypr0[0])]))
+        R0 = R_fix @ R0
+        q_R0 = lie.R2q(R0)
+
+        p_b = s * sfm.p - lie.qrot(q_b, jnp.broadcast_to(tic, (K, 3)))
+        p_new = lie.qrot(q_R0[None, :], p_b - p_b[0:1])
+        q_new = lie.qnormalize(lie.qmul(q_R0[None, :], q_b))
+        v_new = lie.qrot(q_new, v_b)  # body-frame vel -> world
+
+        self.window = self.window._replace(
+            p=p_new, q=q_new, v=v_new,
+            ba=jnp.zeros((K, 3), self.dtype),
+            bg=jnp.tile(jnp.asarray(dbg, self.dtype), (K, 1)))
+        # reset depths (re-triangulated with metric poses); keep lidar depths
+        self.feats = self.feats._replace(
+            inv_depth=jnp.where(self.feats.lidar_flag, self.feats.inv_depth, -1.0))
+        self.feats = triangulate(self.window, self.feats, cfg.tri_min_depth)
+        self.prior = ba.empty_prior(self.window)
+        self.initialized = True
+        return True
+
+    def _repropagate(self, ba_new, bg_new):
+        """Re-preintegrate all segments with new biases (repropagate
+        integration_base.h:130-145)."""
+        pre_d = self.pre._asdict()
+        rows = []
+        for i in range(K):
+            seg = make_segment(
+                self.pre.acc_buf[i], self.pre.gyr_buf[i], self.pre.dt_buf[i],
+                self.pre.n_samples[i], ba_new, bg_new, self.cfg.imu_noise,
+                self.cfg.imu_cap)
+            rows.append(seg)
+        self.pre = StackedPreint(**{
+            k: jnp.stack([jnp.asarray(r[k]) for r in rows]) for k in pre_d})
+        self.pre = self.pre._replace(valid=self.pre.n_samples > 0)
 
     def _current_pose(self, slot):
         return (np.asarray(self.window.p[slot]), np.asarray(self.window.q[slot]),
