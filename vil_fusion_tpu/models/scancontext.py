@@ -1,0 +1,120 @@
+"""ScanContext place recognition, fully tensorized.
+
+Rebuild of the reference's ScanContext
+(reference: src/global_fusion/include/Scancontext/Scancontext.h:
+makeScancontext :42-86 (20 rings x 60 sectors max-z polar image),
+ring key + nanoflann kd-tree rebuilt every 30 inserts :226-239,
+distanceBtnScanContext with +-10% circular shift search :162-193,
+detectLoopClosureID :210-298, SC_DIST_THRES = 0.2, 30-keyframe exclusion).
+
+TPU-first: the kd-tree over ring keys becomes a dense distance over the whole
+database (a few thousand 20-vectors — one matmul); the shift search evaluates
+ALL 60 shifts of the query against ALL candidates in a single einsum on the
+MXU instead of the reference's per-candidate +-10% scan. Strictly more
+thorough than the reference at lower cost.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+N_RING = 20
+N_SECTOR = 60
+MAX_RADIUS = 80.0
+SC_DIST_THRES = 0.2  # Scancontext.h:~SC_DIST_THRES
+NUM_EXCLUDE_RECENT = 30
+NUM_CANDIDATES = 10  # ring-key candidates (NUM_CANDIDATES_FROM_TREE)
+
+
+class ScanContextDB(NamedTuple):
+    desc: jnp.ndarray  # (C, N_RING, N_SECTOR)
+    ring_key: jnp.ndarray  # (C, N_RING)
+    count: jnp.ndarray  # () int32
+
+
+def init_db(capacity: int = 4096, dtype=jnp.float32) -> ScanContextDB:
+    return ScanContextDB(
+        desc=jnp.zeros((capacity, N_RING, N_SECTOR), dtype),
+        ring_key=jnp.zeros((capacity, N_RING), dtype),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def make_descriptor(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) body-frame scan -> (N_RING, N_SECTOR) max-height image
+    (makeScancontext :42-86; +2 m sensor-height offset like LIDAR_HEIGHT)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    r = jnp.sqrt(x * x + y * y)
+    az = jnp.arctan2(y, x)  # [-pi, pi)
+    ring = jnp.floor(r / MAX_RADIUS * N_RING).astype(jnp.int32)
+    sector = jnp.floor((az + jnp.pi) / (2 * jnp.pi) * N_SECTOR).astype(jnp.int32)
+    sector = jnp.clip(sector, 0, N_SECTOR - 1)
+    ok = valid & (r > 0.1) & (r < MAX_RADIUS) & (ring >= 0) & (ring < N_RING)
+    cell = jnp.where(ok, ring * N_SECTOR + sector, N_RING * N_SECTOR)
+    img = jnp.full((N_RING * N_SECTOR + 1,), 0.0, points.dtype)
+    img = img.at[cell].max(jnp.where(ok, z + 2.0, 0.0))
+    return img[:-1].reshape(N_RING, N_SECTOR)
+
+
+def ring_key(desc: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(desc, axis=-1)
+
+
+@jax.jit
+def add_keyframe(db: ScanContextDB, desc: jnp.ndarray) -> ScanContextDB:
+    i = jnp.minimum(db.count, db.desc.shape[0] - 1)
+    return ScanContextDB(
+        desc=db.desc.at[i].set(desc),
+        ring_key=db.ring_key.at[i].set(ring_key(desc)),
+        count=db.count + 1,
+    )
+
+
+@jax.jit
+def detect_loop(db: ScanContextDB, query: jnp.ndarray):
+    """Returns (best_idx, best_dist, best_shift_sectors).
+
+    Pipeline (detectLoopClosureID :210-298): ring-key candidate gate ->
+    all-shift columnwise-cosine distance -> min over candidates, excluding
+    the NUM_EXCLUDE_RECENT most recent keyframes; caller applies the
+    SC_DIST_THRES acceptance gate.
+    """
+    C = db.desc.shape[0]
+    dtype = query.dtype
+    qk = ring_key(query)
+    idx = jnp.arange(C)
+    usable = (idx < db.count - NUM_EXCLUDE_RECENT)
+
+    rk_d = jnp.linalg.norm(db.ring_key - qk[None, :], axis=-1)
+    rk_d = jnp.where(usable, rk_d, jnp.inf)
+    # candidate set: NUM_CANDIDATES smallest ring-key distances
+    neg_top, cand = jax.lax.top_k(-rk_d, NUM_CANDIDATES)
+    cand_ok = jnp.isfinite(-neg_top)
+
+    # all 60 circular shifts of the query: (S, R, W)
+    shifts = jnp.stack([jnp.roll(query, s, axis=1) for s in range(N_SECTOR)])
+    cand_desc = db.desc[cand]  # (Ncand, R, W)
+    # columnwise cosine: num (Ncand, S, W), norms (Ncand, W), (S, W)
+    num = jnp.einsum("crw,srw->csw", cand_desc, shifts)
+    cn = jnp.linalg.norm(cand_desc, axis=1)  # (Ncand, W)
+    qn = jnp.linalg.norm(shifts, axis=1)  # (S, W)
+    denom = cn[:, None, :] * qn[None, :, :]
+    col_ok = denom > 1e-6
+    cos = jnp.where(col_ok, num / jnp.maximum(denom, 1e-6), 0.0)
+    n_cols = jnp.maximum(jnp.sum(col_ok, axis=-1), 1)
+    dist = 1.0 - jnp.sum(cos, axis=-1) / n_cols  # (Ncand, S)
+    dist_min = jnp.min(dist, axis=-1)
+    shift_arg = jnp.argmin(dist, axis=-1)
+    dist_min = jnp.where(cand_ok, dist_min, jnp.inf)
+    b = jnp.argmin(dist_min)
+    return cand[b], dist_min[b], shift_arg[b]
+
+
+def shift_to_yaw(shift) -> jnp.ndarray:
+    """Sector shift -> initial yaw estimate for ICP (poseGraphOptimization
+    uses the SC yaw to seed ICP)."""
+    return shift.astype(jnp.float32) * (2.0 * jnp.pi / N_SECTOR)
