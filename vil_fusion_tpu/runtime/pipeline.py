@@ -1,0 +1,276 @@
+"""The full VIL-Fusion pipeline: sensors in, trajectories out.
+
+Rebuild of the reference's 5-process ROS graph as a single-controller
+frame-synchronous pipeline (SURVEY §2.3 "TPU-native equivalent"):
+
+  camera ─┐                 ┌─ tracker (KLT+RANSAC) ── features ─┐
+  lidar ──┼─ sync (±0.03 s) ┼─ feature extraction + scan-to-map ─┼─ estimator ─ odometry ─ global fusion
+  imu ────┘                 └─ depth association (unit sphere) ──┘
+
+Replaces: feature_tracker_node.cpp processing() :218-477 (sync + front end),
+estimator_node.cpp process() :419+ (measurement bundling), and the
+poseGraphOptimization node (global graph). The ROS topics become host-side
+queues; every compute stage is a jitted fixed-shape call.
+
+Failure handling (SURVEY §5): estimator failureDetection triggers a full
+clearState-style reboot seeded from the LiDAR odometry pose; a camera-stream
+gap triggers the `restart` path (restart_callback analog).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vil_fusion_tpu.models import ba
+from vil_fusion_tpu.models import cameras as cam_mod
+from vil_fusion_tpu.models import depth_association
+from vil_fusion_tpu.models import estimator as est_mod
+from vil_fusion_tpu.models import global_fusion as gf
+from vil_fusion_tpu.models import lidar_features as lf
+from vil_fusion_tpu.models import lidar_odometry as lo
+from vil_fusion_tpu.models import tracker as trk
+from vil_fusion_tpu.ops import lie
+from vil_fusion_tpu.runtime import tum
+from vil_fusion_tpu.runtime.config import RigConfig
+from vil_fusion_tpu.utils.tracing import GLOBAL_TIMERS
+
+
+@dataclass
+class PipelineOutputs:
+    ts: list = field(default_factory=list)
+    vio_p: list = field(default_factory=list)  # no-loop trajectory
+    vio_q: list = field(default_factory=list)
+    lidar_p: list = field(default_factory=list)
+    lidar_q: list = field(default_factory=list)
+
+    def write(self, out_dir: str, fusion: Optional[gf.GlobalFusion] = None):
+        """The reference's three TUM outputs (vins_result_no_loop,
+        vins_result_loop, fs_loam_loop)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        tum.write_tum(os.path.join(out_dir, "vins_result_no_loop.txt"),
+                      self.ts, self.vio_p, self.vio_q)
+        tum.write_tum(os.path.join(out_dir, "lidar_odometry.txt"),
+                      self.ts, self.lidar_p, self.lidar_q)
+        if fusion is not None and fusion.n_kf:
+            q_all, p_all = fusion.poses()
+            tum.write_tum(os.path.join(out_dir, "fs_loam_loop.txt"),
+                          list(range(fusion.n_kf)), p_all, q_all)
+
+
+class VILFusionPipeline:
+    """Modes: "vil" (full), "vio" (no lidar), "lidar" (lidar-only odometry),
+    "mask" (dynamic-scene VIO with mask gating, no lidar) — the reference's
+    four executables (SURVEY §2.1)."""
+
+    SYNC_WINDOW = 0.03  # camera-lidar pairing (feature_tracker_node.cpp:225)
+    CAMERA_GAP_RESTART = 1.0  # stream watchdog (restart path)
+
+    def __init__(self, rig: RigConfig, mode: str = "vil",
+                 f_cap: int = 128, sc_capacity: int = 1024):
+        self.rig = rig
+        self.mode = mode
+        self.cam = cam_mod.from_config(rig.camera)
+        use_lidar = mode in ("vil", "lidar")
+
+        self.tracker_cfg = trk.TrackerConfig(
+            max_cnt=rig.max_cnt, min_dist=rig.min_dist, cap=max(256, f_cap),
+            use_clahe=rig.equalize, f_thresh_px=rig.f_threshold,
+            mask_gate=(mode == "mask"))
+        self.tracker_state = trk.init_tracker(rig.image_height, rig.image_width,
+                                              self.tracker_cfg)
+        self.lidar_cfg = lo.OdomConfig(
+            lidar=lf.LidarConfig(
+                n_scan=rig.n_scan, width=1800 if rig.n_scan >= 64 else 900,
+                min_range=rig.lidar_min_range, max_range=rig.lidar_max_range,
+                fov_up_deg=rig.lidar_fov_up, fov_down_deg=rig.lidar_fov_down))
+        self.lidar_state = lo.init_state(self.lidar_cfg)
+
+        from vil_fusion_tpu.models.imu import ImuNoise
+
+        self.est_cfg = est_mod.EstimatorConfig(
+            ba=ba.BAConfig(
+                use_lidar=use_lidar and mode == "vil",
+                max_iters=rig.max_num_iterations,
+                estimate_td=rig.estimate_td,
+                estimate_extrinsic=rig.estimate_extrinsic,
+                gravity=(0.0, 0.0, rig.g_norm)),
+            f_cap=f_cap, obs_cap=max(256, f_cap),
+            imu_noise=ImuNoise(rig.acc_n, rig.gyr_n, rig.acc_w, rig.gyr_w),
+            min_parallax=rig.keyframe_parallax / 460.0)
+        self.estimator = est_mod.VILEstimator(self.est_cfg)
+        self.estimator.set_extrinsics(qic=rig.q_ic, tic=rig.t_ic, td=rig.td)
+
+        self.fusion = gf.GlobalFusion(gf.GlobalFusionConfig(
+            keyframe_dist=rig.keyframe_meter_gap,
+            keyframe_angle=np.deg2rad(rig.keyframe_deg_gap),
+            sc_dist_thres=rig.sc_dist_thres,
+            node_capacity=sc_capacity)) if use_lidar else None
+
+        # camera-lidar extrinsic (points lidar->camera)
+        if rig.q_cl is not None:
+            self.q_cl = jnp.asarray(rig.q_cl, jnp.float32)
+            self.t_cl = jnp.asarray(rig.t_cl, jnp.float32)
+        else:
+            self.q_cl = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+            self.t_cl = jnp.zeros(3, jnp.float32)
+        self.q_ic = jnp.asarray(rig.q_ic, jnp.float32)
+        self.t_ic = jnp.asarray(rig.t_ic, jnp.float32)
+
+        # host-side queues ("topics")
+        self.imu_buf: list = []  # (t, acc, gyr)
+        self.image_buf: list = []
+        self.scan_buf: list = []
+        self.mask_buf: list = []
+        self.last_image_t = None
+        self.last_processed_t = None
+        self.outputs = PipelineOutputs()
+        self.restarts = 0
+
+    # ------------------------------------------------------------------
+    def push_imu(self, t, acc, gyr):
+        self.imu_buf.append((float(t), np.asarray(acc), np.asarray(gyr)))
+
+    def push_image(self, t, img, mask=None):
+        # stream watchdog: a long camera gap restarts the estimator
+        if self.last_image_t is not None and t - self.last_image_t > self.CAMERA_GAP_RESTART:
+            self._restart()
+        self.last_image_t = float(t)
+        self.image_buf.append((float(t), img, mask))
+        return self._try_process()
+
+    def push_scan(self, t, points, valid):
+        self.scan_buf.append((float(t), points, valid))
+        return self._try_process()
+
+    # ------------------------------------------------------------------
+    def _restart(self):
+        """restart_callback analog (estimator_node.cpp:199-218): flush and
+        reinitialize the estimator; tracker and maps survive."""
+        self.estimator = est_mod.VILEstimator(self.est_cfg)
+        self.estimator.set_extrinsics(qic=self.rig.q_ic, tic=self.rig.t_ic,
+                                      td=self.rig.td)
+        self.restarts += 1
+
+    def _pop_imu_until(self, t):
+        seg = [s for s in self.imu_buf if s[0] <= t + 1e-9]
+        self.imu_buf = [s for s in self.imu_buf if s[0] > t + 1e-9]
+        return seg
+
+    def _try_process(self):
+        need_scan = self.mode in ("vil", "lidar")
+        if not self.image_buf and self.mode != "lidar":
+            return None
+        if need_scan and not self.scan_buf:
+            return None
+        if self.mode == "lidar":
+            t, pts, val = self.scan_buf.pop(0)
+            return self._process_lidar_only(t, pts, val)
+        t_img, img, mask = self.image_buf[0]
+        scan = None
+        if need_scan:
+            # camera-lidar pairing within the sync window (:220-263)
+            t_s, pts, val = self.scan_buf[0]
+            if t_s < t_img - self.SYNC_WINDOW:
+                self.scan_buf.pop(0)
+                return self._try_process()
+            if t_s > t_img + self.SYNC_WINDOW:
+                scan = None  # no matching scan; proceed VIO-style
+            else:
+                scan = self.scan_buf.pop(0)
+        self.image_buf.pop(0)
+        return self._process_frame(t_img, img, mask, scan)
+
+    # ------------------------------------------------------------------
+    def _process_lidar_only(self, t, pts, val):
+        with GLOBAL_TIMERS.timed("lidar_odometry"):
+            self.lidar_state, (q, p, q_rel, p_rel) = lo.odometry_step(
+                self.lidar_state, jnp.asarray(pts, jnp.float32),
+                jnp.asarray(val), self.lidar_cfg)
+        if self.fusion is not None:
+            with GLOBAL_TIMERS.timed("global_fusion"):
+                self.fusion.add_frame(q, p, jnp.asarray(pts, jnp.float32),
+                                      jnp.asarray(val))
+        self.outputs.ts.append(t)
+        self.outputs.lidar_p.append(np.asarray(p))
+        self.outputs.lidar_q.append(np.asarray(q))
+        self.outputs.vio_p.append(np.asarray(p))
+        self.outputs.vio_q.append(np.asarray(q))
+        self.last_processed_t = t
+        return np.asarray(p), np.asarray(q)
+
+    def _process_frame(self, t, img, mask, scan):
+        import jax
+
+        # 1. visual tracking
+        with GLOBAL_TIMERS.timed("tracker"):
+            self.tracker_state, obs = trk.track_step(
+                self.tracker_state, jnp.asarray(img, jnp.float32),
+                jnp.float32(t), self.cam, self.tracker_cfg,
+                dyn_mask=None if mask is None else jnp.asarray(mask),
+                key=jax.random.PRNGKey(int(t * 1e3) & 0x7FFFFFFF))
+
+        # 2. lidar odometry + depth association
+        lidar_q_rel_imu = lidar_p_rel_imu = None
+        depth = None
+        if scan is not None:
+            t_s, pts, val = scan
+            with GLOBAL_TIMERS.timed("lidar_odometry"):
+                self.lidar_state, (lq, lp, lqr, lpr) = lo.odometry_step(
+                    self.lidar_state, jnp.asarray(pts, jnp.float32),
+                    jnp.asarray(val), self.lidar_cfg)
+            # relative pose through extrinsics into the IMU frame
+            # (lidar_factor.h composes through camera-lidar & imu-camera)
+            q_il, t_il = lie.pose_compose((self.q_ic, self.t_ic),
+                                          (self.q_cl, self.t_cl))
+            q_li, t_li = lie.pose_inverse((q_il, t_il))
+            q_tmp, p_tmp = lie.pose_compose((q_il, t_il), (lqr, lpr))
+            lidar_q_rel_imu, lidar_p_rel_imu = lie.pose_compose(
+                (q_tmp, p_tmp), (q_li, t_li))
+            # cloud into camera frame for depth association
+            cloud_cam = lie.qrot(self.q_cl[None, :],
+                                 jnp.asarray(pts, jnp.float32)) + self.t_cl[None, :]
+            with GLOBAL_TIMERS.timed("depth_association"):
+                depth, _ok = depth_association.feature_depth(
+                    obs["xy"], obs["valid"], cloud_cam, jnp.asarray(val))
+            if self.fusion is not None:
+                with GLOBAL_TIMERS.timed("global_fusion"):
+                    self.fusion.add_frame(lq, lp, jnp.asarray(pts, jnp.float32),
+                                          jnp.asarray(val))
+
+        # 3. IMU segment
+        seg = self._pop_imu_until(t)
+        if seg:
+            acc = np.stack([s[1] for s in seg])
+            gyr = np.stack([s[2] for s in seg])
+            ts_ = np.array([s[0] for s in seg])
+            dts = np.diff(ts_, append=t)  # last sample extends to frame time
+        else:
+            acc = gyr = np.zeros((0, 3))
+            dts = np.zeros((0,))
+
+        # 4. estimator
+        valid = np.asarray(obs["valid"])
+        ids = np.asarray(obs["ids"])[valid]
+        xy = np.asarray(obs["xy"])[valid]
+        vel = np.asarray(obs["vel"])[valid]
+        dep = np.asarray(depth)[valid] if depth is not None else None
+        with GLOBAL_TIMERS.timed("estimator"):
+            p_est, q_est, v_est = self.estimator.process_frame(
+                acc, gyr, dts, ids, xy, obs_vel=vel, obs_depth=dep,
+                lidar_q_rel=lidar_q_rel_imu, lidar_p_rel=lidar_p_rel_imu)
+        if self.estimator.failed:
+            # failureDetection reboot (estimator.cpp:212-219)
+            self._restart()
+
+        self.outputs.ts.append(t)
+        self.outputs.vio_p.append(p_est)
+        self.outputs.vio_q.append(q_est)
+        self.outputs.lidar_p.append(np.asarray(self.lidar_state.p))
+        self.outputs.lidar_q.append(np.asarray(self.lidar_state.q))
+        self.last_processed_t = t
+        return p_est, q_est

@@ -252,6 +252,38 @@ class RaycastScene:
         return t_best
 
 
+def _procedural_texture(pts):
+    """Smooth multi-scale intensity field over 3D surface points (trackable
+    texture for the KLT front end)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    v = (0.45
+         + 0.18 * np.sin(1.3 * x) * np.sin(1.9 * y + 0.7)
+         + 0.12 * np.sin(3.1 * y + 0.3) * np.cos(2.3 * z)
+         + 0.10 * np.sin(5.7 * x + 2.1 * z)
+         + 0.08 * np.sin(11.0 * x) * np.sin(9.0 * y) * np.sin(8.0 * z + 1.0))
+    return np.clip(v, 0.0, 1.0)
+
+
+def render_camera_image(scene: RaycastScene, R_wc, p_wc, fx, fy, cx, cy,
+                        height, width, max_range=120.0):
+    """Raycast grayscale image from a camera (RDF, z forward) at (R_wc, p_wc).
+
+    Surfaces carry a procedural texture; misses render as sky (0.9)."""
+    u, v = np.meshgrid(np.arange(width), np.arange(height))
+    dirs_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u, np.float64)], -1)
+    dirs_c /= np.linalg.norm(dirs_c, axis=-1, keepdims=True)
+    dirs_w = dirs_c.reshape(-1, 3) @ R_wc.T
+    origins = np.broadcast_to(p_wc, dirs_w.shape)
+    t = scene.raycast(origins, dirs_w, max_range=max_range)
+    hit = np.isfinite(t)
+    pts = origins + np.where(hit, t, 0.0)[:, None] * dirs_w
+    img = np.full(len(dirs_w), 0.9)
+    img[hit] = _procedural_texture(pts[hit])
+    # mild distance attenuation adds large-scale gradient
+    img[hit] *= 1.0 / (1.0 + 0.004 * t[hit])
+    return img.reshape(height, width).astype(np.float32)
+
+
 def simulate_lidar_scan(scene: RaycastScene, R_wb, p_wb, n_scan: int = 32,
                         width: int = 900, fov_up_deg: float = 30.0,
                         fov_down_deg: float = -30.0, max_range: float = 80.0,
