@@ -1,0 +1,146 @@
+"""Visual loop closure tests: BRIEF/Hamming, BoW, 4-DoF graph, keyframe DB."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_fusion_tpu.models import brief, cameras, posegraph4dof as pg4, visual_loop as vl
+from vil_fusion_tpu.ops import lie
+from vil_fusion_tpu.runtime import sim
+
+from test_vision import render, smooth_texture  # reuse texture helpers
+
+H, W = 240, 320
+CAM = cameras.PinholeCamera(fx=250.0, fy=250.0, cx=W / 2, cy=H / 2)
+
+
+def test_brief_descriptors_stable_under_shift():
+    tex = smooth_texture(H, W, seed=0, scale=6)
+    img1 = jnp.asarray(render(tex, H, W))
+    img2 = jnp.asarray(render(tex, H, W, shift=(3.0, 1.0)))
+    rng = np.random.default_rng(1)
+    pts = rng.uniform([30, 30], [W - 30, H - 30], (64, 2)).astype(np.float32)
+    d1 = brief.brief_descriptors(img1, jnp.asarray(pts), jnp.ones(64, bool))
+    # same physical content appears at pts - shift in img2
+    d2 = brief.brief_descriptors(img2, jnp.asarray(pts - [3.0, 1.0]), jnp.ones(64, bool))
+    dist_same = np.diagonal(np.asarray(brief.hamming_matrix(d1, d2)))
+    d_rand = brief.brief_descriptors(img2, jnp.asarray(pts[::-1].copy()), jnp.ones(64, bool))
+    dist_rand = np.asarray(brief.hamming_matrix(d1, d_rand)).mean()
+    assert dist_same.mean() < 40, dist_same.mean()
+    assert dist_rand > 90, dist_rand
+
+
+def test_hamming_match_and_popcount():
+    rng = np.random.default_rng(2)
+    a = rng.integers(-(2**31), 2**31 - 1, (10, 8), dtype=np.int32)
+    d = np.asarray(brief.hamming_matrix(jnp.asarray(a), jnp.asarray(a)))
+    assert (np.diagonal(d) == 0).all()
+    # flip exactly one bit
+    b = a.copy()
+    b[0, 0] ^= 1
+    d2 = np.asarray(brief.hamming_matrix(jnp.asarray(a[:1]), jnp.asarray(b[:1])))
+    assert d2[0, 0] == 1
+
+
+def test_bow_scores_discriminate():
+    tex1 = smooth_texture(H, W, seed=3, scale=6)
+    tex2 = smooth_texture(H, W, seed=33, scale=6)
+    imgs = [render(tex1, H, W), render(tex1, H, W, shift=(4.0, 2.0)), render(tex2, H, W)]
+    hists = []
+    for im_ in imgs:
+        xy, val = __import__("vil_fusion_tpu.ops.image", fromlist=["im"]).detect_features(
+            jnp.asarray(im_), jnp.zeros((1, 2)), jnp.zeros(1, bool), max_pts=128, min_dist=10)
+        d = brief.brief_descriptors(jnp.asarray(im_), xy, val)
+        hists.append(brief.word_histogram(brief.words_of(d), val))
+    s_same = float(brief.bow_scores(hists[0], jnp.stack([hists[1]]))[0])
+    s_diff = float(brief.bow_scores(hists[0], jnp.stack([hists[2]]))[0])
+    assert s_same > s_diff + 0.05, (s_same, s_diff)
+
+
+def test_posegraph_4dof_closes_yaw_drift():
+    graph = pg4.init_graph(128, 16)
+    n = 30
+    # straight ground truth along x; odometry has yaw drift
+    yaw_drift = 0.01
+    p = np.zeros(3)
+    yaw = 0.0
+    for i in range(n):
+        graph = pg4.add_node(graph, jnp.asarray(p, jnp.float32), jnp.float32(yaw),
+                             jnp.float32(0.02), jnp.float32(-0.01))
+        yaw += yaw_drift
+        p = p + np.array([np.cos(yaw), np.sin(yaw), 0.0])
+    # ground truth of node n-1: (n-1, 0, 0) with yaw 0 -> loop edge from node 0
+    t_rel = jnp.asarray([float(n - 1), 0.0, 0.0], jnp.float32)
+    graph = pg4.add_loop(graph, jnp.int32(0), jnp.int32(n - 1), t_rel, jnp.float32(0.0))
+    before = float(jnp.linalg.norm(graph.p[n - 1] - jnp.asarray([n - 1.0, 0, 0])))
+    graph = pg4.optimize(graph)
+    after = float(jnp.linalg.norm(graph.p[n - 1] - jnp.asarray([n - 1.0, 0, 0])))
+    assert before > 1.0
+    assert after < 0.25 * before, (before, after)
+    # pitch/roll untouched by construction
+    np.testing.assert_allclose(graph.pitch[:n], 0.02, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_visual_loop_db_detects_revisit(tmp_path):
+    """Keyframes along a path; revisiting the first pose must be detected,
+    geometrically verified, and closed in the 4-DoF graph."""
+    scene = sim.RaycastScene()
+    R_BC = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    db = vl.VisualLoopDB(vl.VisualLoopConfig(capacity=128, win_cap=64, extra_cap=128),
+                         qic=sim.R_to_q(R_BC), tic=np.zeros(3))
+    world = sim.LandmarkWorld(n=300, seed=5)
+
+    from vil_fusion_tpu.ops import image as im_ops
+
+    def keyframe_inputs(p_wb, yaw):
+        """Window points = detected corners with depth from raycasting (in
+        the real pipeline they are tracked corners triangulated by the BA)."""
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wb = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        R_wc = R_wb @ R_BC
+        img = sim.render_camera_image(scene, R_wc, p_wb, 250.0, 250.0,
+                                      W / 2, H / 2, H, W)
+        pxj, pval = im_ops.detect_features(
+            jnp.asarray(img), jnp.zeros((1, 2)), jnp.zeros(1, bool),
+            max_pts=64, min_dist=16)
+        px = np.asarray(pxj)[np.asarray(pval)]
+        dirs_c = np.concatenate([(px - [W / 2, H / 2]) / 250.0,
+                                 np.ones((len(px), 1))], -1)
+        dirs_c /= np.linalg.norm(dirs_c, axis=-1, keepdims=True)
+        dirs_w = dirs_c @ R_wc.T
+        t = scene.raycast(np.broadcast_to(p_wb, dirs_w.shape), dirs_w)
+        hit = np.isfinite(t)
+        pts3d = p_wb + t[hit, None] * dirs_w[hit]
+        return (img, sim.R_to_q(R_wb), p_wb, pts3d.astype(np.float32),
+                px[hit].astype(np.float32), np.ones(hit.sum(), bool))
+
+    # 60 keyframes moving away and returning (recency exclusion=50)
+    n_total = 56
+    for k in range(n_total):
+        ang = 2 * np.pi * k / n_total
+        p_wb = np.array([8.0 * (1 - np.cos(ang)) + 3.0, 6.0 * np.sin(ang), 1.5])
+        img, q, p, pts3d, px, pv = keyframe_inputs(p_wb, yaw=0.2 * np.sin(ang))
+        db.add_keyframe(img, q, p, pts3d, px, pv, CAM)
+    # revisit keyframe 1's pose
+    img, q, p, pts3d, px, pv = keyframe_inputs(
+        np.array([3.0 + 8.0 * (1 - np.cos(2 * np.pi / n_total)),
+                  6.0 * np.sin(2 * np.pi / n_total), 1.5]),
+        yaw=0.2 * np.sin(2 * np.pi / n_total))
+    i_cur = db.add_keyframe(img, q, p, pts3d, px, pv, CAM)
+    cand = db.detect(i_cur)
+    assert cand is not None and cand <= 4, cand
+    conn = db.find_connection(i_cur, cand)
+    assert conn is not None
+    q_rel, p_rel = conn
+    assert np.linalg.norm(p_rel) < 1.0  # revisit at (nearly) the same pose
+    db.close_loop(i_cur, cand, q_rel, p_rel)
+
+    # save / load roundtrip (pose graph checkpoint C13)
+    path = str(tmp_path / "pose_graph.npz")
+    db.save(path)
+    db2 = vl.VisualLoopDB(vl.VisualLoopConfig(capacity=128, win_cap=64, extra_cap=128),
+                          qic=sim.R_to_q(R_BC), tic=np.zeros(3))
+    db2.load(path)
+    assert db2.n == db.n
+    assert db2.detect(i_cur) == cand
