@@ -1,0 +1,88 @@
+"""Dataset reader tests against synthesized on-disk fixtures (no real
+datasets on this machine — layouts reproduced from the published formats)."""
+import os
+
+import numpy as np
+import pytest
+
+from vil_fusion_tpu.runtime import datasets
+
+
+@pytest.fixture
+def kitti_odom_fixture(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = tmp_path / "sequences" / "07"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "image_0").mkdir()
+    n = 4
+    np.savetxt(seq / "times.txt", np.arange(n) * 0.1)
+    for i in range(n):
+        pts = rng.normal(size=(500, 4)).astype(np.float32)
+        pts.tofile(seq / "velodyne" / f"{i:06d}.bin")
+        img = (rng.random((60, 80)) * 255).astype(np.uint8)
+        with open(seq / "image_0" / f"{i:06d}.pgm", "wb") as f:
+            f.write(b"P5\n80 60\n255\n" + img.tobytes())
+    poses = np.tile(np.eye(3, 4).reshape(-1), (n, 1))
+    poses[:, 3] = np.arange(n) * 1.0  # x translation
+    (tmp_path / "poses").mkdir()
+    np.savetxt(tmp_path / "poses" / "07.txt", poses)
+    return str(tmp_path)
+
+
+def test_kitti_odometry_reader(kitti_odom_fixture):
+    ds = datasets.KittiOdometry(kitti_odom_fixture, "07")
+    assert len(ds) == 4
+    t, xyz, img = ds.frame(0)
+    assert xyz.shape == (500, 3)
+    assert img.shape == (60, 80)
+    p, R = ds.ground_truth()
+    np.testing.assert_allclose(p[:, 0], np.arange(4) * 1.0)
+    evs = list(ds.events())
+    kinds = [e[0] for e in evs]
+    assert kinds.count("scan") == 4
+    assert kinds.count("image") == 4
+
+
+@pytest.fixture
+def euroc_fixture(tmp_path):
+    rng = np.random.default_rng(1)
+    mav = tmp_path / "mav0"
+    (mav / "imu0").mkdir(parents=True)
+    (mav / "cam0" / "data").mkdir(parents=True)
+    (mav / "state_groundtruth_estimate0").mkdir()
+    t0 = 1_400_000_000_000_000_000
+    with open(mav / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+        for i in range(20):
+            f.write(f"{t0 + i * 5_000_000},0.01,0.02,0.03,0.1,0.2,9.8\n")
+    with open(mav / "cam0" / "data.csv", "w") as f:
+        f.write("#timestamp,filename\n")
+        for i in range(2):
+            ts = t0 + i * 50_000_000
+            name = f"{ts}.pgm"
+            f.write(f"{ts},{name}\n")
+            img = (rng.random((48, 64)) * 255).astype(np.uint8)
+            with open(mav / "cam0" / "data" / name, "wb") as g:
+                g.write(b"P5\n64 48\n255\n" + img.tobytes())
+    with open(mav / "state_groundtruth_estimate0" / "data.csv", "w") as f:
+        f.write("#ts,px,py,pz,qw,qx,qy,qz\n")
+        for i in range(5):
+            f.write(f"{t0 + i * 10_000_000},{0.1 * i},0,0,1,0,0,0\n")
+    return str(tmp_path)
+
+
+def test_euroc_reader(euroc_fixture):
+    ds = datasets.EuRoC(euroc_fixture)
+    evs = list(ds.events())
+    kinds = [e[0] for e in evs]
+    assert kinds.count("imu") == 20
+    assert kinds.count("image") == 2
+    # events time-ordered
+    ts = [e[1] for e in evs]
+    assert ts == sorted(ts)
+    t_gt, p_gt, q_gt = ds.ground_truth()
+    np.testing.assert_allclose(p_gt[:, 0], 0.1 * np.arange(5))
+    # imu units mapping: acc column comes after gyro in EuRoC
+    imu_evs = [e for e in evs if e[0] == "imu"]
+    np.testing.assert_allclose(imu_evs[0][2], [0.1, 0.2, 9.8])
+    np.testing.assert_allclose(imu_evs[0][3], [0.01, 0.02, 0.03])
