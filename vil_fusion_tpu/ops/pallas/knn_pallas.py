@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: tiled k-nearest-neighbour with on-chip top-k.
+
+The XLA-native kNN (ops/knn.py) materializes a (Q, T) distance block in HBM
+per database tile and round-trips through lax.top_k on (Q, T + k). This
+kernel keeps everything in VMEM: the grid walks (query_tile, db_tile) with
+the db dimension innermost; a scratch buffer carries the running k-best
+(distance, index) pairs across db tiles, so HBM traffic is exactly one read
+of queries + database and one write of the final (Q, k) result.
+
+Top-k update per tile: k rounds of (min-extract -> mask) on the fused
+distance block — k is small (3-5 for edge/plane fitting), so this is k VPU
+reductions per tile, no sort.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vil_fusion_tpu.ops import knn as knn_xla
+
+_INF = 3.4e38  # python float: a jnp constant would be captured as a tracer
+
+
+def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
+                best_d, best_i, *, k: int, db_tile: int):
+    dj = pl.program_id(1)
+    n_db = pl.num_programs(1)
+
+    @pl.when(dj == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, _INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = qx_ref[:]  # (QT, 3pad) f32
+    d = db_ref[:]  # (DT, 3pad)
+    v = valid_ref[:]  # (1, DT) f32 (1 valid / 0 invalid)
+
+    # squared distances (QT, DT): |q|^2 - 2 q.d + |d|^2 via MXU-free VPU ops
+    dist = jnp.zeros((q.shape[0], d.shape[0]), jnp.float32)
+    for c in range(3):
+        diff = q[:, c][:, None] - d[:, c][None, :]
+        dist = dist + diff * diff
+    dist = jnp.where(v > 0.5, dist, _INF)
+
+    base = dj * db_tile
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + base
+
+    # merge k best from this tile into the running best
+    bd = best_d[:]  # (QT, k)
+    bi = best_i[:]
+    for _ in range(k):
+        m = jnp.min(dist, axis=1, keepdims=True)  # (QT, 1)
+        amin = jnp.argmin(dist, axis=1)  # (QT,)
+        gidx = base + amin.astype(jnp.int32)
+        # current worst of the running best
+        worst = jnp.max(bd, axis=1, keepdims=True)
+        take = m < worst  # (QT, 1)
+        # replace the (first) worst slot where we take; tie-break by smallest
+        # slot index (iota+min — Mosaic has no cumsum)
+        is_worst = bd == worst  # (QT, k)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+        worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1, keepdims=True)
+        repl = (slot_ids == worst_slot) & take
+        bd = jnp.where(repl, m, bd)
+        bi = jnp.where(repl, gidx[:, None], bi)
+        # mask the extracted element out of the tile block
+        hit = col == gidx[:, None]
+        dist = jnp.where(hit, _INF, dist)
+    best_d[:] = bd
+    best_i[:] = bi
+
+    @pl.when(dj == n_db - 1)
+    def _():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = best_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile", "interpret"))
+def knn_pallas(queries, database, db_valid, k: int = 5,
+               q_tile: int = 256, db_tile: int = 2048, interpret: bool = False):
+    """Drop-in for ops.knn.knn on TPU. queries (Nq, 3), database (Nd, 3)."""
+    nq, _ = queries.shape
+    nd = database.shape[0]
+    pad_q = (-nq) % q_tile
+    pad_d = (-nd) % db_tile
+    q = jnp.pad(queries.astype(jnp.float32), ((0, pad_q), (0, 1)))
+    db = jnp.pad(database.astype(jnp.float32), ((0, pad_d), (0, 1)))
+    val = jnp.pad(db_valid.astype(jnp.float32), (0, pad_d))[None, :]
+
+    grid = (q.shape[0] // q_tile, db.shape[0] // db_tile)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, db_tile=db_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((db_tile, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, k), jnp.float32),
+            pltpu.VMEM((q_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, db, val)
+    out_d = out_d[:nq]
+    out_i = out_i[:nq]
+    # sort each row ascending (k tiny) to match ops.knn ordering
+    order = jnp.argsort(out_d, axis=1)
+    out_d = jnp.take_along_axis(out_d, order, axis=1)
+    out_i = jnp.take_along_axis(out_i, order, axis=1)
+    out_d = jnp.where(out_d >= _INF * 0.5, jnp.inf, out_d)
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, 0)
+    return jnp.maximum(out_d, 0.0), out_i
+
+
+def knn(queries, database, db_valid, k: int = 5, tile: int = 2048):
+    """Dispatch: Pallas on TPU, XLA path elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return knn_pallas(queries, database, db_valid, k=k, db_tile=tile)
+    return knn_xla.knn(queries, database, db_valid, k=k, tile=tile)
