@@ -153,3 +153,36 @@ def test_tum_roundtrip_and_ate(tmp_path):
     # and a corrupted copy does not
     ps_bad = ps_t + rng.normal(0, 0.5, ps.shape)
     assert tum.ate_rmse(ps, ps_bad) > 0.2
+
+
+@pytest.mark.slow
+def test_pipeline_with_visual_loop_smoke(tmp_path):
+    """VIO mode with the visual loop DB enabled: keyframes inserted, loop
+    trajectory emitted, no spurious loop on a non-revisiting path."""
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=2.0))
+    rig = make_rig(use_lidar=False)
+    pipe = VILFusionPipeline(rig, mode="vio", visual_loop=True)
+    frame_dt = 0.1
+    t0 = 1.0
+    q0, p0 = traj.pose(t0)
+    pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                     v=traj.velocity(t0))
+    for i in range(16):
+        t = t0 + i * frame_dt
+        if i > 0:
+            ts_i, acc, gyr = sim.simulate_imu(traj, t - frame_dt, t, 200.0)
+            for k in range(1, len(ts_i)):
+                pipe.push_imu(ts_i[k], acc[k], gyr[k])
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = sim.render_camera_image(scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W)
+        pipe.push_image(t, img)
+    assert pipe.visual_loop.n >= 2  # keyframes inserted past the 1 m gate
+    assert len(pipe.outputs.loop_p) == len(pipe.outputs.ts)
+    # no revisit: drift stays identity
+    np.testing.assert_allclose(pipe.loop_drift_R, np.eye(3), atol=1e-6)
+    out_dir = str(tmp_path / "out")
+    pipe.outputs.write(out_dir)
+    import os
+    assert os.path.exists(os.path.join(out_dir, "vins_result_loop.txt"))

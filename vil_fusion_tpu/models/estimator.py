@@ -170,6 +170,29 @@ def triangulate(state: WindowState, feats: FeatureStore,
 
 
 @jax.jit
+def landmarks_world(state: WindowState, feats: FeatureStore, slot: jnp.ndarray):
+    """World-frame 3D points of depth-resolved features observed at `slot`,
+    plus their normalized obs there (pubKeyframe export, visualization.cpp
+    :385-440: WINDOW-2 pose + 3D/2D/id channels).
+
+    Returns (pts_w (F, 3), obs_xy (F, 2), ids (F,), valid (F,))."""
+    F = feats.active.shape[0]
+    rows = jnp.arange(F)
+    q_c = lie.qmul(state.q, state.qic[None, :])
+    p_c = lie.qrot(state.q, jnp.broadcast_to(state.tic, (K, 3))) + state.p
+    s = feats.start
+    anchor_obs = feats.obs[rows, s]
+    depth = 1.0 / jnp.maximum(feats.inv_depth, 1e-6)
+    pts_c = jnp.concatenate([anchor_obs, jnp.ones_like(anchor_obs[:, :1])],
+                            axis=-1) * depth[:, None]
+    pts_w = lie.qrot(q_c[s], pts_c) + p_c[s]
+    valid = (feats.active & (feats.inv_depth > 0)
+             & feats.obs_valid[rows, s] & feats.obs_valid[:, slot])
+    obs_at = feats.obs[:, slot]
+    return pts_w, obs_at, feats.feat_id, valid
+
+
+@jax.jit
 def failure_detection(state: WindowState, state_prev_p, state_prev_q) -> jnp.ndarray:
     """Divergence detector (estimator.cpp failureDetection :640-686):
     bias norms, translation/z jumps, rotation jump."""

@@ -43,6 +43,8 @@ class PipelineOutputs:
     ts: list = field(default_factory=list)
     vio_p: list = field(default_factory=list)  # no-loop trajectory
     vio_q: list = field(default_factory=list)
+    loop_p: list = field(default_factory=list)  # drift-corrected (visual loop)
+    loop_q: list = field(default_factory=list)
     lidar_p: list = field(default_factory=list)
     lidar_q: list = field(default_factory=list)
 
@@ -54,6 +56,9 @@ class PipelineOutputs:
         os.makedirs(out_dir, exist_ok=True)
         tum.write_tum(os.path.join(out_dir, "vins_result_no_loop.txt"),
                       self.ts, self.vio_p, self.vio_q)
+        if self.loop_p:
+            tum.write_tum(os.path.join(out_dir, "vins_result_loop.txt"),
+                          self.ts, self.loop_p, self.loop_q)
         tum.write_tum(os.path.join(out_dir, "lidar_odometry.txt"),
                       self.ts, self.lidar_p, self.lidar_q)
         if fusion is not None and fusion.n_kf:
@@ -71,7 +76,8 @@ class VILFusionPipeline:
     CAMERA_GAP_RESTART = 1.0  # stream watchdog (restart path)
 
     def __init__(self, rig: RigConfig, mode: str = "vil",
-                 f_cap: int = 128, sc_capacity: int = 1024):
+                 f_cap: int = 128, sc_capacity: int = 1024,
+                 visual_loop: bool = False):
         self.rig = rig
         self.mode = mode
         self.cam = cam_mod.from_config(rig.camera)
@@ -120,6 +126,19 @@ class VILFusionPipeline:
             self.t_cl = jnp.zeros(3, jnp.float32)
         self.q_ic = jnp.asarray(rig.q_ic, jnp.float32)
         self.t_ic = jnp.asarray(rig.t_ic, jnp.float32)
+
+        # visual loop closure (the dormant pose_graph node's capability,
+        # SURVEY §1: place recognition + 4-DoF graph + drift feedback)
+        self.visual_loop = None
+        if visual_loop and mode in ("vil", "vio", "mask"):
+            from vil_fusion_tpu.models import visual_loop as vl
+
+            self.visual_loop = vl.VisualLoopDB(
+                vl.VisualLoopConfig(capacity=sc_capacity),
+                qic=rig.q_ic, tic=rig.t_ic)
+            self.loop_drift_R = np.eye(3, dtype=np.float32)
+            self.loop_drift_t = np.zeros(3, np.float32)
+            self._last_kf_p = None
 
         # host-side queues ("topics")
         self.imu_buf: list = []  # (t, acc, gyr)
@@ -267,10 +286,64 @@ class VILFusionPipeline:
             # failureDetection reboot (estimator.cpp:212-219)
             self._restart()
 
+        # 5. visual loop closure (pose_graph node rebuild): keyframe-gated
+        # BRIEF/BoW detection + PnP verification + 4-DoF graph + drift
+        if (self.visual_loop is not None and self.estimator.initialized
+                and self.estimator.frame_count >= est_mod.K - 1):
+            self._visual_loop_step(img, p_est, q_est)
+
         self.outputs.ts.append(t)
         self.outputs.vio_p.append(p_est)
         self.outputs.vio_q.append(q_est)
+        if self.visual_loop is not None:
+            self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
+            from vil_fusion_tpu.runtime.sim import R_to_q
+
+            R_c = self.loop_drift_R @ np.asarray(
+                lie.q2R(jnp.asarray(q_est, jnp.float32)))
+            self.outputs.loop_q.append(R_to_q(R_c.astype(np.float64)))
         self.outputs.lidar_p.append(np.asarray(self.lidar_state.p))
         self.outputs.lidar_q.append(np.asarray(self.lidar_state.q))
         self.last_processed_t = t
         return p_est, q_est
+
+    def _visual_loop_step(self, img, p_est, q_est):
+        """Keyframe insert (2 m gate) + detection + verification + 4-DoF
+        drift update (pose_graph node process() + optimize4DoF rebuild)."""
+        if self._last_kf_p is not None and np.linalg.norm(p_est - self._last_kf_p) < 1.0:
+            return
+        est = self.estimator
+        # process_frame already slid the window: the newest frame's
+        # observations and state live at slot K-2 now
+        slot = est_mod.K - 2
+        pts_w, obs_xy, ids, valid = est_mod.landmarks_world(
+            est.window, est.feats, jnp.int32(slot))
+        valid = np.asarray(valid)
+        if valid.sum() < 10:
+            return
+        pts_w = np.asarray(pts_w)[valid]
+        obs_xy = np.asarray(obs_xy)[valid]
+        # pixel coords of the observations for descriptor extraction
+        px = np.asarray(cam_mod.project(
+            self.cam, jnp.concatenate(
+                [jnp.asarray(obs_xy, jnp.float32),
+                 jnp.ones((len(obs_xy), 1), jnp.float32)], axis=-1)))
+        db = self.visual_loop
+        i_cur = db.add_keyframe(img, q_est, p_est, pts_w, px,
+                                np.ones(len(px), bool), self.cam)
+        self._last_kf_p = np.asarray(p_est)  # gate only on successful insert
+        cand = db.detect(i_cur)
+        if cand is None:
+            return
+        conn = db.find_connection(i_cur, cand)
+        if conn is None:
+            return
+        q_rel, p_rel = conn
+        graph_before = db.graph
+        db.close_loop(i_cur, cand, q_rel, p_rel)
+        # drift: corrected keyframe pose vs VIO keyframe pose (:552-574)
+        from vil_fusion_tpu.models import posegraph4dof as pg4
+
+        dyaw, R_d, t_d = pg4.drift_transform(graph_before, db.graph, i_cur)
+        self.loop_drift_R = np.asarray(R_d)
+        self.loop_drift_t = np.asarray(t_d)
