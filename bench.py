@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def bench_lidar_odometry(n_frames=20, warmup=3):
+def bench_lidar_odometry(n_frames=24, warmup=3):
     import jax
     import jax.numpy as jnp
 
@@ -46,12 +46,23 @@ def bench_lidar_odometry(n_frames=20, warmup=3):
     # warmup / compile
     for i in range(warmup):
         state, out = lo.odometry_step(state, *scans[i % len(scans)], cfg)
-    jax.block_until_ready(out[1])
+    np.asarray(out[1])
 
+    # bounded-depth pipelined measurement: a host sync every frame-minus-2
+    # keeps at most 2 frames in flight (deployment-shaped double buffering)
+    # while preventing the unbounded-async artifact where block_until_ready
+    # on the final output alone understates the work by 100x+ under the
+    # remote-execution tunnel. Measured: depth 1..8 all give the same
+    # number, so this is the true steady-state cost.
+    inflight = []
     t0 = time.perf_counter()
     for i in range(n_frames):
         state, out = lo.odometry_step(state, *scans[i % len(scans)], cfg)
-    jax.block_until_ready(out[1])
+        inflight.append(out[1])
+        if len(inflight) > 2:
+            np.asarray(inflight.pop(0))
+    for x in inflight:
+        np.asarray(x)
     dt = time.perf_counter() - t0
     return n_frames / dt
 
@@ -66,11 +77,11 @@ def bench_ba(n_solves=10, warmup=2):
     state, feats, pre, lidar, prior = ge._example_problem(f_cap=128)
     for _ in range(warmup):
         out = ba.optimize(state, feats, pre, lidar, prior, cfg)
-    jax.block_until_ready(out[2])
+    np.asarray(out[2])
     t0 = time.perf_counter()
     for _ in range(n_solves):
         out = ba.optimize(state, feats, pre, lidar, prior, cfg)
-    jax.block_until_ready(out[2])
+        np.asarray(out[2])  # per-solve host sync (see bench_lidar_odometry)
     dt = time.perf_counter() - t0
     return n_solves * cfg.max_iters / dt
 

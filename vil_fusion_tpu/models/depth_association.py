@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vil_fusion_tpu.ops import knn as knn_ops
+from vil_fusion_tpu.ops.pallas import knn_pallas as knn_ops  # Pallas on TPU, XLA elsewhere
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vil_fusion_tpu.models.lidar_features import LidarConfig, LidarFeatures, extract_features
-from vil_fusion_tpu.ops import knn as knn_ops
+from vil_fusion_tpu.ops.pallas import knn_pallas as knn_ops  # Pallas on TPU, XLA elsewhere
 from vil_fusion_tpu.ops import lie
 from vil_fusion_tpu.ops import voxel as voxel_ops
 
@@ -37,7 +37,7 @@ class OdomConfig(NamedTuple):
     edge_map_voxel: float = 0.4
     surf_map_voxel: float = 0.8
     crop_half_extent: float = 100.0
-    n_outer: int = 3  # association passes (reference: 2 relinearizations)
+    n_outer: int = 2  # association passes (reference: 2 relinearizations)
     n_inner: int = 4  # GN steps per pass (reference: <=4 Ceres iters)
     knn_k: int = 5
     edge_eig_ratio: float = 3.0  # lambda_max > 3 * lambda_mid

@@ -53,16 +53,22 @@ def knn(
         db_valid = jnp.concatenate([db_valid, jnp.zeros((pad,), bool)], axis=0)
     n_tiles = database.shape[0] // tile
 
-    q_norm2 = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Nq, 1)
     db_tiles = database.reshape(n_tiles, tile, 3)
     valid_tiles = db_valid.reshape(n_tiles, tile)
+
+    q_norm2 = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Nq, 1)
 
     def body(carry, inp):
         best_d, best_i = carry
         d_tile, v_tile, t = inp
         d_norm2 = jnp.sum(d_tile * d_tile, axis=-1)  # (tile,)
-        # MXU matmul: (Nq, 3) @ (3, tile)
-        cross = queries @ d_tile.T
+        # MXU matmul with HIGHEST precision: TPU's default-bf16 matmul loses
+        # ~0.5 m^2 here (measured), which silently corrupts correspondences;
+        # HIGHEST (3-pass bf16) keeps the error < 2e-3 m^2 at 3.7x the speed
+        # of the exact elementwise-difference form.
+        cross = jax.lax.dot_general(
+            queries, d_tile.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
         dist2 = q_norm2 + d_norm2[None, :] - 2.0 * cross
         dist2 = jnp.where(v_tile[None, :], dist2, _INF)
         idx = t * tile + jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 1)

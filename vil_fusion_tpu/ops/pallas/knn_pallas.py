@@ -72,11 +72,12 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
         dist = jnp.where(hit, _INF, dist)
     best_d[:] = bd
     best_i[:] = bi
-
-    @pl.when(dj == n_db - 1)
-    def _():
-        out_d_ref[:] = best_d[:]
-        out_i_ref[:] = best_i[:]
+    # write the running best every step: the output block is revisited for
+    # every db tile (index_map constant in j), and Pallas flushes the output
+    # VMEM block to HBM after each program — a conditional write would flush
+    # stale garbage on non-final steps.
+    out_d_ref[:] = bd
+    out_i_ref[:] = bi
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile", "interpret"))
