@@ -185,3 +185,20 @@ def test_lidar_flag_depths_held_constant():
     free = ~np.asarray(flags) & (d0 > 0) & np.asarray(feats.active)
     np.testing.assert_allclose(d1[held], d0[held], atol=1e-7)
     assert np.abs(d1[free] - d0[free]).max() > 1e-5  # free depths moved
+
+
+def test_extrinsic_self_calibration():
+    """estimate_extrinsic=True: a perturbed camera-IMU rotation must be
+    pulled back toward truth by the BA (C10 extrinsic self-calib hook)."""
+    state_gt, feats, pre, lidar, _ = make_vio_problem()
+    # perturb the extrinsic rotation by ~2 deg
+    dq = lie.so3_exp(jnp.asarray([0.02, -0.03, 0.015], jnp.float32))
+    state0 = state_gt._replace(qic=lie.qmul(state_gt.qic, dq))
+    err0 = float(jnp.linalg.norm(lie.so3_log(
+        lie.qmul(lie.qconj(state0.qic), state_gt.qic))))
+    cfg = ba.BAConfig(estimate_extrinsic=True, max_iters=16)
+    prior = ba.empty_prior(state0)
+    state1, _, _ = ba.optimize(state0, feats, pre, lidar, prior, cfg)
+    err1 = float(jnp.linalg.norm(lie.so3_log(
+        lie.qmul(lie.qconj(state1.qic), state_gt.qic))))
+    assert err1 < 0.35 * err0, (err0, err1)

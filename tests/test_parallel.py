@@ -59,3 +59,27 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_scancontext_matches_single_device(mesh):
+    from vil_fusion_tpu.models import scancontext as sc
+    from vil_fusion_tpu.parallel.sharded_sc import detect_loop_sharded
+    from vil_fusion_tpu.runtime import sim
+
+    scene = sim.RaycastScene()
+    db = sc.init_db(256)
+    rngs = []
+    for i in range(40):
+        pts, val = sim.simulate_lidar_scan(
+            scene, np.eye(3), np.array([1.2 * i, 0.1 * i, 1.5]),
+            n_scan=16, width=360, fov_up_deg=20.0, fov_down_deg=-20.0)
+        db = sc.add_keyframe(db, sc.make_descriptor(jnp.asarray(pts), jnp.asarray(val)))
+    pts, val = sim.simulate_lidar_scan(
+        scene, np.eye(3), np.array([2.5, 0.25, 1.5]),
+        n_scan=16, width=360, fov_up_deg=20.0, fov_down_deg=-20.0)
+    q = sc.make_descriptor(jnp.asarray(pts), jnp.asarray(val))
+    i_ref, d_ref, s_ref = sc.detect_loop(db, q)
+    i_sh, d_sh, s_sh = detect_loop_sharded(mesh, db, q)
+    assert int(i_sh) == int(i_ref)
+    np.testing.assert_allclose(float(d_sh), float(d_ref), atol=1e-5)
+    assert int(s_sh) == int(s_ref)

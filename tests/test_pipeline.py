@@ -168,17 +168,24 @@ def test_pipeline_with_visual_loop_smoke(tmp_path):
     q0, p0 = traj.pose(t0)
     pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
                                      v=traj.velocity(t0))
+    hr_outputs = []
     for i in range(16):
         t = t0 + i * frame_dt
         if i > 0:
             ts_i, acc, gyr = sim.simulate_imu(traj, t - frame_dt, t, 200.0)
             for k in range(1, len(ts_i)):
-                pipe.push_imu(ts_i[k], acc[k], gyr[k])
+                hr = pipe.push_imu(ts_i[k], acc[k], gyr[k])
+                if hr is not None:
+                    hr_outputs.append((ts_i[k], hr))
         R_wb = traj.rotation(t)
         p_wb = traj.position(t) + np.array([0, 0, 1.5])
         img = sim.render_camera_image(scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W)
         pipe.push_image(t, img)
     assert pipe.visual_loop.n >= 2  # keyframes inserted past the 1 m gate
+    # IMU-rate odometry (pubLatestOdometry analog) tracks ground truth
+    assert len(hr_outputs) > 100
+    t_hr, (p_hr, q_hr, v_hr) = hr_outputs[-1]
+    assert np.linalg.norm(p_hr - (traj.position(t_hr) + [0, 0, 1.5])) < 0.3
     assert len(pipe.outputs.loop_p) == len(pipe.outputs.ts)
     # no revisit: drift stays identity
     np.testing.assert_allclose(pipe.loop_drift_R, np.eye(3), atol=1e-6)
@@ -186,3 +193,17 @@ def test_pipeline_with_visual_loop_smoke(tmp_path):
     pipe.outputs.write(out_dir)
     import os
     assert os.path.exists(os.path.join(out_dir, "vins_result_loop.txt"))
+
+
+def test_viz_renders(tmp_path):
+    from vil_fusion_tpu.runtime import viz
+    rng = np.random.default_rng(0)
+    ps = np.cumsum(rng.normal(0, 0.2, (50, 3)), 0)
+    viz.plot_trajectories({"a": ps, "b": ps + 0.1}, str(tmp_path / "t.png"))
+    viz.plot_map(rng.normal(0, 5, (500, 3)).astype(np.float32), np.ones(500, bool),
+                 ps, str(tmp_path / "m.png"))
+    viz.plot_loops(ps, [(0, 40), (5, 45)], str(tmp_path / "l.png"))
+    Rs = np.tile(np.eye(3), (10, 1, 1))
+    viz.plot_frusta(Rs, ps[:10], str(tmp_path / "f.png"))
+    for f in ("t.png", "m.png", "l.png", "f.png"):
+        assert (tmp_path / f).stat().st_size > 1000

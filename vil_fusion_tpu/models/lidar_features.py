@@ -65,18 +65,16 @@ def project_range_image(points: jnp.ndarray, valid: jnp.ndarray, cfg: LidarConfi
     cell = ring * cfg.width + col
     cell = jnp.where(valid, cell, cfg.n_scan * cfg.width)  # overflow bucket
 
-    # nearest point per cell: sort by (cell, range), first occurrence wins.
-    # Integer compound key (cell * 1000 + quantized range) stays exact in int32.
-    r_q = jnp.clip((r * 10.0).astype(jnp.int32), 0, 999)
-    order = jnp.argsort(cell * 1000 + r_q)
-    scell = cell[order]
-    spts = points[order]
-    svalid = valid[order]
-    first = jnp.concatenate([jnp.array([True]), scell[1:] != scell[:-1]]) & svalid
+    # nearest point per cell via scatter-min (a full argsort of ~115k points
+    # is a bitonic sort on TPU and dominated the extraction cost; two
+    # scatters + one gather do the same job)
     n_cells = cfg.n_scan * cfg.width
-    tgt = jnp.where(first, scell, n_cells)
-    img_xyz = jnp.zeros((n_cells + 1, 3), points.dtype).at[tgt].set(spts)[:-1]
-    img_valid = jnp.zeros((n_cells + 1,), bool).at[tgt].set(first)[:-1]
+    img_r = jnp.full((n_cells + 1,), 1e9, points.dtype).at[cell].min(
+        jnp.where(valid, r, 1e9))
+    win = valid & (r <= img_r[cell] + 1e-3)  # ties resolved arbitrarily below
+    tgt = jnp.where(win, cell, n_cells)
+    img_xyz = jnp.zeros((n_cells + 1, 3), points.dtype).at[tgt].set(points)[:-1]
+    img_valid = jnp.zeros((n_cells + 1,), bool).at[tgt].set(win)[:-1]
     return img_xyz.reshape(cfg.n_scan, cfg.width, 3), img_valid.reshape(cfg.n_scan, cfg.width)
 
 

@@ -85,8 +85,11 @@ def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig):
     centroid = jnp.mean(nn, axis=1)
     centered = nn - centroid[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / cfg.knn_k
-    lam, vec = jnp.linalg.eigh(cov)  # ascending
-    direction = vec[..., 2]  # principal direction
+    # closed-form symmetric 3x3 eigen-decomposition (iterative eigh on
+    # thousands of tiny matrices is a TPU anti-pattern)
+    from vil_fusion_tpu.ops.linalg import sym3x3_principal
+
+    lam, direction = sym3x3_principal(cov)
     ok = ok & (lam[:, 2] > cfg.edge_eig_ratio * lam[:, 1])
     finite = jnp.isfinite(direction).all(axis=-1) & jnp.isfinite(centroid).all(axis=-1)
     ok = ok & finite

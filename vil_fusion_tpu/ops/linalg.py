@@ -1,0 +1,69 @@
+"""Small closed-form linear algebra for batched geometry (TPU-friendly).
+
+jnp.linalg.eigh on batched 3x3 matrices lowers to iterative QR on TPU; the
+scan-matching hot path calls it for thousands of covariance matrices per
+frame. Closed forms (Cardano eigenvalues + cross-product eigenvectors) are
+branch-free VPU arithmetic.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sym3x3_eigvalsh(A):
+    """Eigenvalues of symmetric (..., 3, 3), ascending — Cardano's formula
+    (Smith's algorithm; matches jnp.linalg.eigvalsh to ~1e-6 rel)."""
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    b00 = a00 - q
+    b11 = a11 - q
+    b22 = a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)
+    iso = p2 < 1e-20  # (near-)isotropic: all eigenvalues equal q
+    p = jnp.sqrt(jnp.maximum(jnp.where(iso, 1.0, p2) / 6.0, 1e-30))
+    inv_p = 1.0 / p
+    # det(B/p) / 2
+    c00 = b11 * b22 - a12 * a12
+    c01 = a01 * b22 - a12 * a02
+    c02 = a01 * a12 - b11 * a02
+    half_det = (b00 * c00 - a01 * c01 + a02 * c02) * (inv_p * inv_p * inv_p) * 0.5
+    half_det = jnp.clip(half_det, -1.0, 1.0)
+    phi = jnp.arccos(half_det) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    out = jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+    return jnp.where(iso[..., None], q[..., None], out)
+
+
+def sym3x3_principal(A):
+    """(eigvals ascending (..., 3), principal eigenvector (..., 3)) of a
+    symmetric 3x3 batch. Eigenvector by cross-product of rows of (A - l_max I)
+    (the two most independent rows give its null direction)."""
+    lams = sym3x3_eigvalsh(A)
+    l_max = lams[..., 2]
+    B = A - l_max[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0 = B[..., 0, :]
+    r1 = B[..., 1, :]
+    r2 = B[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    # pick the largest-norm cross product (branch-free select)
+    best = jnp.where((n01 >= n02)[..., None] & (n01 >= n12)[..., None], c01,
+                     jnp.where((n02 >= n12)[..., None], c02, c12))
+    norm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    v = best / jnp.maximum(norm, 1e-12)
+    # degenerate (repeated eigenvalue): fall back to +z
+    z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    v = jnp.where(norm > 1e-10, v, z)
+    return lams, v

@@ -152,7 +152,48 @@ class VILFusionPipeline:
 
     # ------------------------------------------------------------------
     def push_imu(self, t, acc, gyr):
+        """Buffer the sample and return an IMU-rate pose estimate
+        (pubLatestOdometry / predict(), estimator_node.cpp:44-80)."""
         self.imu_buf.append((float(t), np.asarray(acc), np.asarray(gyr)))
+        return self._propagate_high_rate(float(t), np.asarray(acc), np.asarray(gyr))
+
+    def _propagate_high_rate(self, t, acc, gyr):
+        from vil_fusion_tpu.models import imu as imu_mod
+
+        hr = getattr(self, "_hr", None)
+        if hr is None or not self.estimator.initialized:
+            return None
+        dt = t - hr["t"]
+        if dt <= 0 or dt > 1.0:
+            self._hr = None
+            return None
+        g = np.asarray(self.estimator.gravity)
+        p, q, v = imu_mod.propagate_state(
+            jnp.asarray(hr["p"]), jnp.asarray(hr["q"]), jnp.asarray(hr["v"]),
+            jnp.asarray(hr["ba"]), jnp.asarray(hr["bg"]),
+            jnp.asarray(hr["acc"]), jnp.asarray(hr["gyr"]),
+            jnp.asarray(acc, jnp.float32), jnp.asarray(gyr, jnp.float32),
+            jnp.float32(dt), jnp.asarray(g, jnp.float32))
+        self._hr = dict(t=t, p=np.asarray(p), q=np.asarray(q), v=np.asarray(v),
+                        ba=hr["ba"], bg=hr["bg"], acc=np.asarray(acc, np.float32),
+                        gyr=np.asarray(gyr, np.float32))
+        return self._hr["p"], self._hr["q"], self._hr["v"]
+
+    def _reset_high_rate(self, t):
+        """Re-seed the high-rate propagator from the latest solved state."""
+        est = self.estimator
+        slot = est_mod.K - 2 if est.frame_count >= est_mod.K - 1 else max(
+            min(est.frame_count, est_mod.K - 1) - 1, 0)
+        if self.imu_buf:
+            acc, gyr = self.imu_buf[-1][1], self.imu_buf[-1][2]
+        else:
+            acc = np.asarray([0.0, 0, 9.81], np.float32)
+            gyr = np.zeros(3, np.float32)
+        self._hr = dict(
+            t=t, p=np.asarray(est.window.p[slot]), q=np.asarray(est.window.q[slot]),
+            v=np.asarray(est.window.v[slot]), ba=np.asarray(est.window.ba[slot]),
+            bg=np.asarray(est.window.bg[slot]),
+            acc=np.asarray(acc, np.float32), gyr=np.asarray(gyr, np.float32))
 
     def push_image(self, t, img, mask=None):
         # stream watchdog: a long camera gap restarts the estimator
@@ -173,6 +214,7 @@ class VILFusionPipeline:
         self.estimator = est_mod.VILEstimator(self.est_cfg)
         self.estimator.set_extrinsics(qic=self.rig.q_ic, tic=self.rig.t_ic,
                                       td=self.rig.td)
+        self._hr = None
         self.restarts += 1
 
     def _pop_imu_until(self, t):
@@ -285,6 +327,8 @@ class VILFusionPipeline:
         if self.estimator.failed:
             # failureDetection reboot (estimator.cpp:212-219)
             self._restart()
+        elif self.estimator.initialized:
+            self._reset_high_rate(t)  # re-seed IMU-rate propagation
 
         # 5. visual loop closure (pose_graph node rebuild): keyframe-gated
         # BRIEF/BoW detection + PnP verification + 4-DoF graph + drift
