@@ -72,3 +72,16 @@ def test_crop_box():
     out, ov = voxel_ops.crop_box(pts, jnp.ones(4, bool), jnp.zeros(3), 5.0, 4)
     assert int(ov.sum()) == 2
     np.testing.assert_allclose(out[:2], [[0, 0, 0], [0, 3, 0]])
+
+
+def test_voxel_downsample_hash_spacing():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 20, size=(4000, 3)).astype(np.float32)
+    out, ov = voxel_ops.voxel_downsample_hash(
+        jnp.asarray(pts), jnp.ones(4000, bool), 0.5, jnp.zeros(3), capacity=8192)
+    kept = np.asarray(out)[np.asarray(ov)]
+    assert len(kept) > 500  # most voxels survive at 2x headroom
+    # at most one representative per voxel
+    keys = np.floor(kept / 0.5).astype(int)
+    lin = (keys[:, 0] * 1024 + keys[:, 1]) * 1024 + keys[:, 2]
+    assert len(np.unique(lin)) == len(lin)

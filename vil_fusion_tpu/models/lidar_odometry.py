@@ -209,10 +209,12 @@ def _update_maps(state: MapState, feats: LidarFeatures, q, p, cfg: OdomConfig):
     origin = p - cfg.crop_half_extent
     in_e = jnp.all(jnp.abs(state.edge_map - p) <= cfg.crop_half_extent, axis=-1)
     in_s = jnp.all(jnp.abs(state.surf_map - p) <= cfg.crop_half_extent, axis=-1)
-    edge_map, edge_valid = voxel_ops.merge_voxel(
+    # sort-free hash merge (see voxel_downsample_hash): map maintenance was
+    # a large fraction of the per-frame cost with the exact sorted merge
+    edge_map, edge_valid = voxel_ops.merge_voxel_hash(
         state.edge_map, state.edge_map_valid & in_e, e_w, feats.edge_valid,
         cfg.edge_map_voxel, origin, cfg.edge_map_cap)
-    surf_map, surf_valid = voxel_ops.merge_voxel(
+    surf_map, surf_valid = voxel_ops.merge_voxel_hash(
         state.surf_map, state.surf_map_valid & in_s, s_w, feats.surf_valid,
         cfg.surf_map_voxel, origin, cfg.surf_map_cap)
     return edge_map, edge_valid, surf_map, surf_valid

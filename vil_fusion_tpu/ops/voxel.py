@@ -85,6 +85,54 @@ def voxel_downsample(
     return out, out_valid
 
 
+@functools.partial(jax.jit, static_argnames=("capacity", "grid_dim"))
+def voxel_downsample_hash(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    resolution: float,
+    origin: jnp.ndarray,
+    capacity: int,
+    grid_dim: int = 1024,
+):
+    """Sort-free voxel downsample: voxel key hashed into `capacity` buckets,
+    one representative point per bucket (scatter-min + scatter-set).
+
+    Trades exact centroids and collision-free voxels (voxel_downsample) for
+    two scatters instead of a full argsort — the map-maintenance hot path.
+    Hash collisions merge distant voxels (~N_occ/capacity of them), which a
+    point-cloud map tolerates; use voxel_downsample where exactness matters.
+    """
+    n = points.shape[0]
+    key = _voxel_key(points, origin, 1.0 / resolution, grid_dim)
+    # finalizer-style mixing, then take HIGH bits: `key * A mod 2^k` keeps
+    # only the low key bits (ignores whole coordinates) — murmur3-like mix
+    # spreads all coordinate bits into the bucket index
+    k_u = key.astype(jnp.uint32)
+    k_u = k_u ^ (k_u >> 16)
+    k_u = k_u * jnp.uint32(0x85EBCA6B)
+    k_u = k_u ^ (k_u >> 13)
+    k_u = k_u * jnp.uint32(0xC2B2AE35)
+    k_u = k_u ^ (k_u >> 16)
+    h = (k_u % jnp.uint32(capacity)).astype(jnp.int32)
+    big = jnp.iinfo(jnp.int32).max
+    tag = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), big)
+    slot_min = jnp.full((capacity,), big, jnp.int32).at[h].min(tag)
+    win = valid & (tag == slot_min[h])
+    tgt = jnp.where(win, h, capacity)
+    out = jnp.zeros((capacity + 1, 3), points.dtype).at[tgt].set(points)[:capacity]
+    ov = jnp.zeros((capacity + 1,), bool).at[tgt].set(win)[:capacity]
+    return out, ov
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "grid_dim"))
+def merge_voxel_hash(points_a, valid_a, points_b, valid_b, resolution, origin,
+                     capacity: int, grid_dim: int = 1024):
+    """Union + hash voxel downsample (sort-free map update)."""
+    pts = jnp.concatenate([points_a, points_b], axis=0)
+    val = jnp.concatenate([valid_a, valid_b], axis=0)
+    return voxel_downsample_hash(pts, val, resolution, origin, capacity, grid_dim)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def crop_box(points, valid, center, half_extent, capacity: int):
     """Keep points within an axis-aligned box around `center`, compacted.
