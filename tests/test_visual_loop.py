@@ -144,3 +144,29 @@ def test_visual_loop_db_detects_revisit(tmp_path):
     db2.load(path)
     assert db2.n == db.n
     assert db2.detect(i_cur) == cand
+
+
+def test_multi_sequence_edges_not_straddling():
+    """Sequential edges must not connect nodes of different sessions; a loop
+    edge between sessions stitches them (new_sequence capability)."""
+    graph = pg4.init_graph(64, 8)
+    # session 0: 10 nodes along x
+    for i in range(10):
+        graph = pg4.add_node(graph, jnp.asarray([float(i), 0, 0], jnp.float32),
+                             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), 0)
+    # session 1: starts with a wrong absolute guess (disconnected)
+    for i in range(10):
+        graph = pg4.add_node(graph, jnp.asarray([float(i), 5.0, 0], jnp.float32),
+                             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), 1)
+    # loop edge: session-1 node 10 observed at session-0 node 2's position
+    # with relative translation [0, 0, 0] (same place)
+    graph = pg4.add_loop(graph, jnp.int32(2), jnp.int32(10),
+                         jnp.asarray([0.0, 0.0, 0.0], jnp.float32), jnp.float32(0.0))
+    g2 = pg4.optimize(graph)
+    # session-1 chain pulled onto session 0 (node 10 -> node 2's position),
+    # while session-0 nodes stay anchored
+    assert float(jnp.linalg.norm(g2.p[10] - g2.p[2])) < 0.2
+    np.testing.assert_allclose(np.asarray(g2.p[:10, 1]), 0.0, atol=0.2)
+    # internal session-1 shape preserved (relative structure intact)
+    rel = np.asarray(g2.p[11] - g2.p[10])
+    np.testing.assert_allclose(rel, [1.0, 0.0, 0.0], atol=0.1)

@@ -29,6 +29,9 @@ class PoseGraph4DoF(NamedTuple):
     yaw: jnp.ndarray  # (N,) radians
     pitch: jnp.ndarray  # (N,) fixed (from VIO)
     roll: jnp.ndarray  # (N,)
+    seq: jnp.ndarray  # (N,) int32 session id (multi-sequence support:
+    #   sequential edges never straddle a sequence boundary; loop edges
+    #   between sequences stitch the sessions — pose_graph.cpp:45-126)
     n_nodes: jnp.ndarray
     loop_i: jnp.ndarray  # (L,)
     loop_j: jnp.ndarray
@@ -42,6 +45,7 @@ def init_graph(capacity: int = 4096, loop_capacity: int = 256, dtype=jnp.float32
     z = lambda *s: jnp.zeros(s, dtype)
     return PoseGraph4DoF(
         p=z(capacity, 3), yaw=z(capacity), pitch=z(capacity), roll=z(capacity),
+        seq=jnp.zeros((capacity,), jnp.int32),
         n_nodes=jnp.zeros((), jnp.int32),
         loop_i=jnp.zeros((loop_capacity,), jnp.int32),
         loop_j=jnp.zeros((loop_capacity,), jnp.int32),
@@ -51,11 +55,12 @@ def init_graph(capacity: int = 4096, loop_capacity: int = 256, dtype=jnp.float32
 
 
 @jax.jit
-def add_node(graph: PoseGraph4DoF, p, yaw, pitch, roll):
+def add_node(graph: PoseGraph4DoF, p, yaw, pitch, roll, seq=0):
     i = jnp.minimum(graph.n_nodes, graph.p.shape[0] - 1)
     return graph._replace(
         p=graph.p.at[i].set(p), yaw=graph.yaw.at[i].set(yaw),
         pitch=graph.pitch.at[i].set(pitch), roll=graph.roll.at[i].set(roll),
+        seq=graph.seq.at[i].set(jnp.int32(seq)),
         n_nodes=graph.n_nodes + 1)
 
 
@@ -117,7 +122,8 @@ def optimize(graph: PoseGraph4DoF, gn_iters: int = 10, cg_iters: int = 64,
         seq_j.append(jnp.minimum(idx + k, N - 1))
     seq_i = jnp.concatenate(seq_i)
     seq_j = jnp.concatenate(seq_j)
-    seq_valid = (seq_j < graph.n_nodes) & (seq_j > seq_i)
+    seq_valid = ((seq_j < graph.n_nodes) & (seq_j > seq_i)
+                 & (graph.seq[seq_i] == graph.seq[seq_j]))
 
     R_i0 = _R_ypr(graph.yaw[seq_i], graph.pitch[seq_i], graph.roll[seq_i])
     seq_t = jnp.einsum("nij,nj->ni", jnp.swapaxes(R_i0, 1, 2),

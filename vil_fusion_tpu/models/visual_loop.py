@@ -70,10 +70,14 @@ class VisualLoopDB:
         self.n = 0
 
     # ------------------------------------------------------------------
-    def add_keyframe(self, img, q_wb, p_wb, pts3d_w, pts2d_px, pts_valid, cam):
+    def add_keyframe(self, img, q_wb, p_wb, pts3d_w, pts2d_px, pts_valid, cam,
+                     sequence: int = 0):
         """Build + insert a keyframe; returns its index.
 
-        pts3d_w: window landmarks (world); pts2d_px their pixel coords."""
+        pts3d_w: window landmarks (world); pts2d_px their pixel coords.
+        `sequence` tags the session (new_sequence support): the 4-DoF graph
+        omits sequential edges across session boundaries; a verified loop
+        between sessions stitches them (pose_graph.cpp:45-126 merge)."""
         cfg = self.cfg
         i = self.n
         img = jnp.asarray(img, jnp.float32)
@@ -112,7 +116,7 @@ class VisualLoopDB:
         ypr = np.asarray(lie.R2ypr(lie.q2R(jnp.asarray(q_wb, jnp.float32)))) * np.pi / 180.0
         self.graph = pg4.add_node(self.graph, jnp.asarray(p_wb, jnp.float32),
                                   jnp.float32(ypr[0]), jnp.float32(ypr[1]),
-                                  jnp.float32(ypr[2]))
+                                  jnp.float32(ypr[2]), sequence)
         self.n += 1
         return i
 
@@ -200,7 +204,8 @@ class VisualLoopDB:
             extra_xy=self.extra_xy[: self.n], extra_valid=self.extra_valid[: self.n],
             q=self.q[: self.n], p=self.p[: self.n],
             graph_p=np.asarray(self.graph.p), graph_yaw=np.asarray(self.graph.yaw),
-            graph_pitch=np.asarray(self.graph.pitch), graph_roll=np.asarray(self.graph.roll))
+            graph_pitch=np.asarray(self.graph.pitch), graph_roll=np.asarray(self.graph.roll),
+            graph_seq=np.asarray(self.graph.seq))
 
     def load(self, path: str):
         """loadPoseGraph analog (pose_graph.cpp:756-874)."""
@@ -222,6 +227,8 @@ class VisualLoopDB:
             yaw=g.yaw.at[: len(d["graph_yaw"])].set(jnp.asarray(d["graph_yaw"])),
             pitch=g.pitch.at[: len(d["graph_pitch"])].set(jnp.asarray(d["graph_pitch"])),
             roll=g.roll.at[: len(d["graph_roll"])].set(jnp.asarray(d["graph_roll"])),
+            seq=(g.seq.at[: len(d["graph_seq"])].set(jnp.asarray(d["graph_seq"]))
+                 if "graph_seq" in d else g.seq),
             n_nodes=jnp.int32(n))
 
 

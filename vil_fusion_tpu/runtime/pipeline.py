@@ -216,6 +216,7 @@ class VILFusionPipeline:
                                       td=self.rig.td)
         self._hr = None
         self.restarts += 1
+        self.sequence = getattr(self, "sequence", 0) + 1  # new_sequence()
 
     def _pop_imu_until(self, t):
         seg = [s for s in self.imu_buf if s[0] <= t + 1e-9]
@@ -374,7 +375,8 @@ class VILFusionPipeline:
                  jnp.ones((len(obs_xy), 1), jnp.float32)], axis=-1)))
         db = self.visual_loop
         i_cur = db.add_keyframe(img, q_est, p_est, pts_w, px,
-                                np.ones(len(px), bool), self.cam)
+                                np.ones(len(px), bool), self.cam,
+                                sequence=getattr(self, "sequence", 0))
         self._last_kf_p = np.asarray(p_est)  # gate only on successful insert
         cand = db.detect(i_cur)
         if cand is None:
