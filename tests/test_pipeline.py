@@ -207,3 +207,53 @@ def test_viz_renders(tmp_path):
     viz.plot_frusta(Rs, ps[:10], str(tmp_path / "f.png"))
     for f in ("t.png", "m.png", "l.png", "f.png"):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+@pytest.mark.slow
+def test_mask_variant_rejects_dynamic_object(tmp_path):
+    """C2 parity: a moving textured object crosses the view; mask-gated mode
+    must keep features off it and hold trajectory accuracy (the reference's
+    sensor_fusion_feature_mask + ADVIO-style validation)."""
+    from test_vision import render as tex_render, smooth_texture
+
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=1.5))
+    rig = make_rig(use_lidar=False)
+    pipe = VILFusionPipeline(rig, mode="mask")
+    obj_tex = smooth_texture(120, 120, seed=99, scale=4)
+
+    frame_dt = 0.1
+    t0 = 1.0
+    q0, p0 = traj.pose(t0)
+    pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                     v=traj.velocity(t0))
+    n_frames = 16
+    errs = []
+    for i in range(n_frames):
+        t = t0 + i * frame_dt
+        if i > 0:
+            ts_i, acc, gyr = sim.simulate_imu(traj, t - frame_dt, t, 200.0)
+            for k in range(1, len(ts_i)):
+                pipe.push_imu(ts_i[k], acc[k], gyr[k])
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = sim.render_camera_image(scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W)
+        # composite a moving dynamic object (80x80) sweeping across the view
+        ox = 40 + i * 9
+        oy = 70 + (i % 5) * 4
+        obj = tex_render(obj_tex, 80, 80, shift=(i * 5.0, i * 2.0))
+        img = img.copy()
+        img[oy:oy + 80, ox:ox + 80] = obj
+        mask = np.zeros((H, W), bool)
+        mask[oy:oy + 80, ox:ox + 80] = True
+        pipe.push_image(t, img, mask=mask)
+        errs.append(np.linalg.norm(pipe.outputs.vio_p[-1] - p_wb)
+                    if pipe.outputs.vio_p else 0.0)
+        # no tracked feature inside the (un-eroded core of the) mask
+        ts_state = pipe.tracker_state
+        xy = np.asarray(ts_state.xy)[np.asarray(ts_state.valid)]
+        inside = ((xy[:, 0] > ox + 8) & (xy[:, 0] < ox + 72)
+                  & (xy[:, 1] > oy + 8) & (xy[:, 1] < oy + 72))
+        assert inside.sum() <= 2, f"frame {i}: {inside.sum()} features on dynamic object"
+    assert pipe.restarts == 0
+    assert max(errs) < 0.5, errs
