@@ -83,3 +83,39 @@ def test_sharded_scancontext_matches_single_device(mesh):
     assert int(i_sh) == int(i_ref)
     np.testing.assert_allclose(float(d_sh), float(d_ref), atol=1e-5)
     assert int(s_sh) == int(s_ref)
+
+
+def test_batched_odometry_matches_sequential(mesh):
+    """S sequences in one vmapped step == S independent runs; sequence axis
+    sharded over the mesh."""
+    from vil_fusion_tpu.models import lidar_features as lf, lidar_odometry as lo
+    from vil_fusion_tpu.parallel import batched_odometry as bo
+    from vil_fusion_tpu.runtime import sim
+
+    cfg = lo.OdomConfig(
+        lidar=lf.LidarConfig(n_scan=16, width=360, fov_up_deg=20.0,
+                             fov_down_deg=-20.0, min_range=1.0,
+                             edge_cap=256, surf_cap=1024),
+        edge_map_cap=2048, surf_map_cap=4096)
+    scene = sim.RaycastScene()
+    S = 8
+    scans = []
+    for s in range(S):
+        pts, val = sim.simulate_lidar_scan(
+            scene, np.eye(3), np.array([3.0 + 2 * s, 0.5 * s, 1.5]),
+            n_scan=16, width=360, fov_up_deg=20.0, fov_down_deg=-20.0)
+        scans.append((pts, val))
+    pts_b = jnp.asarray(np.stack([p for p, _ in scans]))
+    val_b = jnp.asarray(np.stack([v for _, v in scans]))
+
+    states = bo.shard_states(mesh, lo.init_state_batched(cfg, S))
+    for _ in range(2):
+        states, out = bo.odometry_step_sharded(mesh, states, pts_b, val_b, cfg)
+    # reference: sequence 3 run alone
+    st = lo.init_state(cfg)
+    for _ in range(2):
+        st, out_ref = lo.odometry_step(st, jnp.asarray(scans[3][0]),
+                                       jnp.asarray(scans[3][1]), cfg)
+    np.testing.assert_allclose(np.asarray(out[1][3]), np.asarray(out_ref[1]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(states.p[3]), np.asarray(st.p), atol=1e-4)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from vil_fusion_tpu.models.lidar_features import LidarConfig, LidarFeatures, extract_features
 from vil_fusion_tpu.ops.pallas import knn_pallas as knn_ops  # Pallas on TPU, XLA elsewhere
+from vil_fusion_tpu.ops import hash_knn as hknn
 from vil_fusion_tpu.ops import lie
 from vil_fusion_tpu.ops import voxel as voxel_ops
 
@@ -45,6 +46,14 @@ class OdomConfig(NamedTuple):
     huber_delta: float = 0.1  # robust loss scale (matches ceres HuberLoss(0.1))
     lm_lambda: float = 1e-4
     max_corr_dist: float = 3.0  # reject correspondences further than this
+    # voxel-hash kNN (maps are hash tables — ops/hash_knn.py). Default OFF on
+    # purpose: measured on TPU v5e, the 125-bucket random gather per query is
+    # SLOWER than the dense brute-force/Pallas scan (15.5 vs 21.2 fps at
+    # HDL-64 scale) — random gathers are the TPU's weak op, dense distance
+    # matrices its strong one. The hash path wins on CPU and is kept for it.
+    use_hash_knn: bool = False
+    edge_hash_radius: int = 3  # +-3 cells @ 0.4 m = +-1.2 m
+    surf_hash_radius: int = 2  # +-2 cells @ 0.8 m = +-1.6 m
 
 
 class MapState(NamedTuple):
@@ -52,6 +61,7 @@ class MapState(NamedTuple):
     edge_map_valid: jnp.ndarray
     surf_map: jnp.ndarray
     surf_map_valid: jnp.ndarray
+    map_origin: jnp.ndarray  # (3,) voxel-grid origin of the current maps
     q: jnp.ndarray  # current world pose
     p: jnp.ndarray
     q_prev: jnp.ndarray  # previous pose (constant-velocity prediction)
@@ -67,6 +77,7 @@ def init_state(cfg: OdomConfig, dtype=jnp.float32) -> MapState:
         edge_map_valid=jnp.zeros((cfg.edge_map_cap,), bool),
         surf_map=jnp.zeros((cfg.surf_map_cap, 3), dtype),
         surf_map_valid=jnp.zeros((cfg.surf_map_cap,), bool),
+        map_origin=jnp.full((3,), -cfg.crop_half_extent, dtype),
         q=q0, p=p0, q_prev=q0, p_prev=p0,
         frame_count=jnp.zeros((), jnp.int32),
     )
@@ -76,10 +87,19 @@ def init_state(cfg: OdomConfig, dtype=jnp.float32) -> MapState:
 # Correspondence building (replaces EdgeCostFactor/SurfCostFactor setup)
 # ---------------------------------------------------------------------------
 
-def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig):
+def _map_knn(pts_w, map_pts, map_valid, cfg: OdomConfig, res, radius, origin):
+    if cfg.use_hash_knn and origin is not None:
+        return hknn.hash_knn(pts_w, map_pts, map_valid, res, origin,
+                             k=cfg.knn_k, radius=radius)
+    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+
+
+def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
+                         origin=None):
     """5-NN line fit per edge point: PCA direction + eigenvalue gating
     (EstimationMapping.hpp:254-270 semantics: lambda_max > 3 lambda_mid)."""
-    d2, idx = knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+    d2, idx = _map_knn(pts_w, map_pts, map_valid, cfg, cfg.edge_map_voxel,
+                       cfg.edge_hash_radius, origin)
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     centroid = jnp.mean(nn, axis=1)
@@ -99,10 +119,12 @@ def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig):
     return centroid, direction, ok
 
 
-def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig):
+def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
+                         origin=None):
     """5-NN plane fit per planar point: solve A n = -1, gate on fit residual
     (SurfCostFactor :174-206 semantics)."""
-    d2, idx = knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+    d2, idx = _map_knn(pts_w, map_pts, map_valid, cfg, cfg.surf_map_voxel,
+                       cfg.surf_hash_radius, origin)
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     # normal from A n = -1  (A = nn):  n = -(A^T A)^-1 A^T 1
@@ -169,7 +191,7 @@ def _gn_system(q, p, edge_x, e_cent, e_dir, e_ok, surf_x, s_n, s_d, s_ok, cfg: O
 def scan_to_map(
     feats: LidarFeatures,
     edge_map, edge_map_valid, surf_map, surf_map_valid,
-    q_init, p_init, cfg: OdomConfig,
+    q_init, p_init, cfg: OdomConfig, map_origin=None,
 ):
     """Register a feature scan against the local map (optimation_processing
     :235-296): n_outer association passes, n_inner damped-GN steps each."""
@@ -179,9 +201,9 @@ def scan_to_map(
         e_w = lie.qrot(q, feats.edge) + p
         s_w = lie.qrot(q, feats.surf) + p
         e_cent, e_dir, e_ok = edge_correspondences(
-            e_w, feats.edge_valid, edge_map, edge_map_valid, cfg)
+            e_w, feats.edge_valid, edge_map, edge_map_valid, cfg, map_origin)
         s_n, s_d, s_ok = surf_correspondences(
-            s_w, feats.surf_valid, surf_map, surf_map_valid, cfg)
+            s_w, feats.surf_valid, surf_map, surf_map_valid, cfg, map_origin)
 
         def inner_body(_, qp):
             q, p = qp
@@ -217,7 +239,7 @@ def _update_maps(state: MapState, feats: LidarFeatures, q, p, cfg: OdomConfig):
     surf_map, surf_valid = voxel_ops.merge_voxel_hash(
         state.surf_map, state.surf_map_valid & in_s, s_w, feats.surf_valid,
         cfg.surf_map_voxel, origin, cfg.surf_map_cap)
-    return edge_map, edge_valid, surf_map, surf_valid
+    return edge_map, edge_valid, surf_map, surf_valid, origin
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -238,7 +260,8 @@ def odometry_step(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     def register(_):
         return scan_to_map(
             feats, state.edge_map, state.edge_map_valid,
-            state.surf_map, state.surf_map_valid, q_pred, p_pred, cfg)
+            state.surf_map, state.surf_map_valid, q_pred, p_pred, cfg,
+            state.map_origin)
 
     def first_frame(_):
         return state.q, state.p
@@ -248,9 +271,27 @@ def odometry_step(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     maps = _update_maps(state, feats, q_new, p_new, cfg)
     new_state = MapState(
         edge_map=maps[0], edge_map_valid=maps[1],
-        surf_map=maps[2], surf_map_valid=maps[3],
+        surf_map=maps[2], surf_map_valid=maps[3], map_origin=maps[4],
         q=q_new, p=p_new, q_prev=state.q, p_prev=state.p,
         frame_count=state.frame_count + 1,
     )
     q_rel, p_rel = lie.pose_between((state.q, state.p), (q_new, p_new))
     return new_state, (q_new, p_new, q_rel, p_rel)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step_batched(states: MapState, points, valid, cfg: OdomConfig = OdomConfig()):
+    """Batched multi-sequence odometry: every leaf of `states` and the scan
+    inputs carry a leading sequence axis; S independent sequences advance in
+    one fused device program (SURVEY §7: batched multi-sequence evaluation —
+    run KITTI 07/08/09 simultaneously, impossible in the reference's
+    process-per-sequence design). vmap over the pure single-sequence step.
+
+    For multi-chip scale-out, shard the sequence axis over the mesh
+    (parallel/batched_odometry.py)."""
+    return jax.vmap(lambda s, p, v: odometry_step(s, p, v, cfg))(states, points, valid)
+
+
+def init_state_batched(cfg: OdomConfig, n_seq: int, dtype=jnp.float32) -> MapState:
+    one = init_state(cfg, dtype)
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (n_seq,) + a.shape).copy(), one)

@@ -37,6 +37,23 @@ def _voxel_key(points, origin, inv_res, grid_dim):
     return (ijk[:, 0] * grid_dim + ijk[:, 1]) * grid_dim + ijk[:, 2]
 
 
+def hash_bucket(key, capacity: int):
+    """Murmur3-finalizer bucket index for a linear voxel key.
+
+    Shared by voxel_downsample_hash (table build) and hash_knn (lookup): the
+    map buffers double as spatial hash tables keyed by this function.
+    `key * A mod 2^k` alone keeps only low key bits (ignores whole
+    coordinates); the finalizer mixes all bits.
+    """
+    k_u = key.astype(jnp.uint32)
+    k_u = k_u ^ (k_u >> 16)
+    k_u = k_u * jnp.uint32(0x85EBCA6B)
+    k_u = k_u ^ (k_u >> 13)
+    k_u = k_u * jnp.uint32(0xC2B2AE35)
+    k_u = k_u ^ (k_u >> 16)
+    return (k_u % jnp.uint32(capacity)).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "grid_dim"))
 def voxel_downsample(
     points: jnp.ndarray,
@@ -104,16 +121,7 @@ def voxel_downsample_hash(
     """
     n = points.shape[0]
     key = _voxel_key(points, origin, 1.0 / resolution, grid_dim)
-    # finalizer-style mixing, then take HIGH bits: `key * A mod 2^k` keeps
-    # only the low key bits (ignores whole coordinates) — murmur3-like mix
-    # spreads all coordinate bits into the bucket index
-    k_u = key.astype(jnp.uint32)
-    k_u = k_u ^ (k_u >> 16)
-    k_u = k_u * jnp.uint32(0x85EBCA6B)
-    k_u = k_u ^ (k_u >> 13)
-    k_u = k_u * jnp.uint32(0xC2B2AE35)
-    k_u = k_u ^ (k_u >> 16)
-    h = (k_u % jnp.uint32(capacity)).astype(jnp.int32)
+    h = hash_bucket(key, capacity)
     big = jnp.iinfo(jnp.int32).max
     tag = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), big)
     slot_min = jnp.full((capacity,), big, jnp.int32).at[h].min(tag)
