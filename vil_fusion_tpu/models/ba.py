@@ -207,6 +207,29 @@ def _scatter_quadratic(H, b, r, J, ix):
     return H, b
 
 
+def accumulate_proj_quadratic(H, b, Hpd, Hd, bd, r, Jp, Jd, ix, f_idx):
+    """Projection-factor accumulation via one-hot matmuls.
+
+    Thousands of 19x19 scatter-adds serialize on TPU; projecting each
+    factor's Jacobian into the full D-dim tangent with a one-hot selection
+    matrix turns the whole assembly into three MXU einsums (the same trick
+    the pthreaded map-reduce in marginalization_factor.cpp:232-261 is NOT).
+    """
+    N = r.shape[0]
+    F = Hd.shape[0]
+    dtype = H.dtype
+    sel = (ix[:, :, None] == jnp.arange(D)[None, None, :]).astype(dtype)  # (N, 19, D)
+    Jf = jnp.einsum("nrd,ndD->nrD", Jp, sel)  # (N, 2, D)
+    H = H + jnp.einsum("nrD,nrE->DE", Jf, Jf)
+    b = b - jnp.einsum("nrD,nr->D", Jf, r)
+    self_f = (f_idx[:, None] == jnp.arange(F)[None, :]).astype(dtype)  # (N, F)
+    JfTJd = jnp.einsum("nrD,nr->nD", Jf, Jd)  # (N, D)
+    Hpd = Hpd + jnp.einsum("nD,nF->DF", JfTJd, self_f)
+    Hd = Hd + self_f.T @ jnp.sum(Jd * Jd, axis=-1)
+    bd = bd - self_f.T @ jnp.einsum("nr,nr->n", Jd, r)
+    return H, b, Hpd, Hd, bd
+
+
 def build_system(
     state: WindowState,
     feats: FeatureStore,
@@ -241,15 +264,14 @@ def build_system(
         H, b = _scatter_quadratic(H, b, r, J, ix)
         cost = cost + jnp.sum(r * r)
 
-    # projection + depth coupling
+    # projection + depth coupling (one-hot matmul assembly)
     r, Jpse, Jd, ix, f_idx, rho_cost = _proj_blocks(state, feats, cfg, dtype, cauchy_c)
-    H, b = _scatter_quadratic(H, b, r, Jpse, ix)
     cost = cost + rho_cost
     Hpd = jnp.zeros((D, F), dtype)
-    blk = jnp.einsum("nrd,nr->nd", Jpse, Jd)  # (N, 19)
-    Hpd = Hpd.at[ix, f_idx[:, None]].add(blk)
-    Hd = jnp.zeros((F,), dtype).at[f_idx].add(jnp.sum(Jd * Jd, axis=-1))
-    bd = jnp.zeros((F,), dtype).at[f_idx].add(-jnp.einsum("nr,nr->n", Jd, r))
+    Hd = jnp.zeros((F,), dtype)
+    bd = jnp.zeros((F,), dtype)
+    H, b, Hpd, Hd, bd = accumulate_proj_quadratic(
+        H, b, Hpd, Hd, bd, r, Jpse, Jd, ix, f_idx)
     return System(H, b, Hpd, Hd, bd, cost)
 
 
