@@ -101,15 +101,20 @@ def marginalize_old(
         Lam = Lam.at[ix[:, :, None], ix[:, None, :]].add(jnp.einsum("nrd,nre->nde", J, J))
         g = g.at[ix].add(jnp.einsum("nrd,nr->nd", J, r))
 
-    # projections anchored at frame 0 (depths eliminated on the fly)
+    # projections anchored at frame 0 (depths eliminated on the fly);
+    # one-hot matmul assembly like ba.accumulate_proj_quadratic (sign note:
+    # that helper accumulates b -= J^T r while this function carries
+    # g = +J^T r, so negate its b outputs)
     marg_feats = feats._replace(active=feats.active & (feats.start == 0))
     r, Jpse, Jd, ixp, f_idx, _rho = ba._proj_blocks(state, marg_feats, cfg, dtype, 1.0)
-    Lam = Lam.at[ixp[:, :, None], ixp[:, None, :]].add(jnp.einsum("nrd,nre->nde", Jpse, Jpse))
-    g = g.at[ixp].add(jnp.einsum("nrd,nr->nd", Jpse, r))
-    Hpd = jnp.zeros((D, F), dtype).at[ixp, f_idx[:, None]].add(
-        jnp.einsum("nrd,nr->nd", Jpse, Jd))
-    Hd = jnp.zeros((F,), dtype).at[f_idx].add(jnp.sum(Jd * Jd, axis=-1))
-    gd = jnp.zeros((F,), dtype).at[f_idx].add(jnp.einsum("nr,nr->n", Jd, r))
+    bneg = jnp.zeros((D,), dtype)
+    gd_neg = jnp.zeros((F,), dtype)
+    Hpd = jnp.zeros((D, F), dtype)
+    Hd = jnp.zeros((F,), dtype)
+    Lam, bneg, Hpd, Hd, gd_neg = ba.accumulate_proj_quadratic(
+        Lam, bneg, Hpd, Hd, gd_neg, r, Jpse, Jd, ixp, f_idx)
+    g = g - bneg
+    gd = -gd_neg
     inv_Hd = jnp.where(Hd > _EIG_EPS, 1.0 / jnp.maximum(Hd, _EIG_EPS), 0.0)
     Lam = Lam - (Hpd * inv_Hd[None, :]) @ Hpd.T
     g = g - Hpd @ (inv_Hd * gd)

@@ -57,17 +57,16 @@ def build_system_sharded(state, feats_shard: FeatureStore, pre, lidar, prior,
         b = b.at[ix].add(-JTr)
         cost = cost + jnp.sum(r * r) * inv_n
 
-    # local landmark shard
+    # local landmark shard (one-hot matmul assembly)
     r, Jpse, Jd, ixp, f_idx, rho_cost = ba._proj_blocks(
         state, feats_shard, cfg, dtype, cauchy_c)
     F_loc = feats_shard.active.shape[0]
-    H = H.at[ixp[:, :, None], ixp[:, None, :]].add(jnp.einsum("nrd,nre->nde", Jpse, Jpse))
-    b = b.at[ixp].add(-jnp.einsum("nrd,nr->nd", Jpse, r))
     cost = cost + rho_cost
-    Hpd = jnp.zeros((D, F_loc), dtype).at[ixp, f_idx[:, None]].add(
-        jnp.einsum("nrd,nr->nd", Jpse, Jd))
-    Hd = jnp.zeros((F_loc,), dtype).at[f_idx].add(jnp.sum(Jd * Jd, axis=-1))
-    bd = jnp.zeros((F_loc,), dtype).at[f_idx].add(-jnp.einsum("nr,nr->n", Jd, r))
+    Hpd = jnp.zeros((D, F_loc), dtype)
+    Hd = jnp.zeros((F_loc,), dtype)
+    bd = jnp.zeros((F_loc,), dtype)
+    H, b, Hpd, Hd, bd = ba.accumulate_proj_quadratic(
+        H, b, Hpd, Hd, bd, r, Jpse, Jd, ixp, f_idx)
 
     # local Schur elimination of the depth block (lam-damped, exactly like
     # ba.schur_solve), then one psum of the pose-state system
