@@ -112,3 +112,68 @@ def test_odometry_sequence_low_drift():
         errs.append(np.linalg.norm(np.asarray(p) - p_gt_local))
     assert errs[-1] < 0.3, f"drift too large: {errs}"
     assert max(errs) < 0.5, f"trajectory error: {errs}"
+
+
+def test_deskew_points_correctness():
+    """Isolated deskew: distorted-scan points, corrected with the true scan
+    motion, must land back on the analytic scene surfaces."""
+    from vil_fusion_tpu.models.deskew import deskew_points
+
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=6.0))
+    off = np.array([0, 0, 1.5])
+    t_end, dt = 1.0, 0.15
+    pts_d, val_d = sim.simulate_lidar_scan_distorted(
+        scene, traj, t_end, dt, off, n_scan=32, width=900,
+        fov_up_deg=30.0, fov_down_deg=-30.0)
+    R_e = traj.rotation(t_end)
+    p_e = traj.position(t_end) + off
+    R_s = traj.rotation(t_end - dt)
+    p_s = traj.position(t_end - dt) + off
+    q_rel, p_rel = lie.pose_between(
+        (jnp.asarray(sim.R_to_q(R_s), jnp.float32), jnp.asarray(p_s, jnp.float32)),
+        (jnp.asarray(sim.R_to_q(R_e), jnp.float32), jnp.asarray(p_e, jnp.float32)))
+    out = np.asarray(deskew_points(jnp.asarray(pts_d), jnp.asarray(val_d), q_rel, p_rel))
+
+    def surf_dist(body_pts):
+        W = body_pts @ R_e.T + p_e
+        return np.minimum(np.abs(W[:, 2]), np.abs(np.abs(W[:, 1]) - 12.0))
+
+    raw_med = np.median(surf_dist(pts_d[val_d]))
+    fix_med = np.median(surf_dist(out[val_d]))
+    assert fix_med < 0.3 * raw_med, (raw_med, fix_med)
+
+
+def test_deskew_odometry_no_regression():
+    """Closed-loop deskew (predicted motion + refined-map reinsertion) must
+    not degrade odometry on distorted scans and should match/beat it late."""
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=6.0))  # ~0.9 m/scan
+    off = np.array([0, 0, 1.5])
+    frame_dt = 0.15
+
+    def run(deskew):
+        cfg = lo.OdomConfig(lidar=CFG, edge_map_cap=4096, surf_map_cap=8192,
+                            edge_map_voxel=0.3, surf_map_voxel=0.5, deskew=deskew)
+        state = lo.init_state(cfg)
+        errs = []
+        for i in range(8):
+            t = i * frame_dt
+            pts, val = sim.simulate_lidar_scan_distorted(
+                scene, traj, t, frame_dt, off, n_scan=CFG.n_scan,
+                width=CFG.width, fov_up_deg=CFG.fov_up_deg,
+                fov_down_deg=CFG.fov_down_deg, max_range=CFG.max_range)
+            state, (q, p, _, _) = lo.odometry_step(
+                state, jnp.asarray(pts), jnp.asarray(val), cfg)
+            R_gt = traj.rotation(t)
+            p_gt = traj.position(t) + off
+            if i == 0:
+                R0, p0 = R_gt, p_gt
+            errs.append(np.linalg.norm(np.asarray(p) - R0.T @ (p_gt - p0)))
+        return np.array(errs)
+
+    e_plain = run(False)
+    e_deskew = run(True)
+    # late frames (consistent motion-compensated map): at least as good
+    assert e_deskew[-2:].mean() <= 1.05 * e_plain[-2:].mean(), (e_plain, e_deskew)
+    assert e_deskew.max() < 0.35, e_deskew

@@ -54,6 +54,7 @@ class OdomConfig(NamedTuple):
     use_hash_knn: bool = False
     edge_hash_radius: int = 3  # +-3 cells @ 0.4 m = +-1.2 m
     surf_hash_radius: int = 2  # +-2 cells @ 0.8 m = +-1.6 m
+    deskew: bool = False  # motion-compensate raw scans (models/deskew.py)
 
 
 class MapState(NamedTuple):
@@ -251,11 +252,17 @@ def odometry_step(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     what the reference publishes as /Odometry for the estimator's inter-frame
     lidar factors (feature_tracker_node.cpp:399-415).
     """
-    feats = extract_features(points, valid, cfg.lidar)
-
     # constant-velocity prediction (EstimationMapping.hpp:238-240)
     q_rel0, p_rel0 = lie.pose_between((state.q_prev, state.p_prev), (state.q, state.p))
     q_pred, p_pred = lie.pose_compose((state.q, state.p), (q_rel0, p_rel0))
+
+    raw_points = points
+    if cfg.deskew:
+        from vil_fusion_tpu.models.deskew import deskew_points
+
+        points = deskew_points(points, valid, q_rel0, p_rel0)
+
+    feats = extract_features(points, valid, cfg.lidar)
 
     def register(_):
         return scan_to_map(
@@ -267,6 +274,23 @@ def odometry_step(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
         return state.q, state.p
 
     q_new, p_new = jax.lax.cond(state.frame_count > 0, register, first_frame, None)
+
+    if cfg.deskew:
+        # second pass: re-deskew the raw scan with the REFINED motion before
+        # inserting into the map — map consistency is what makes deskew pay
+        # (a map mixing differently-distorted scans registers worse than a
+        # consistently distorted one)
+        from vil_fusion_tpu.models.deskew import deskew_points
+
+        q_ref, p_ref = lie.pose_between((state.q, state.p), (q_new, p_new))
+        pts_refined = deskew_points(raw_points, valid, q_ref, p_ref)
+        feats = extract_features(pts_refined, valid, cfg.lidar)
+        # frame 0 went into the map undeskewed (no motion estimate yet);
+        # drop it at frame 1 — the map must be uniformly motion-compensated
+        drop0 = state.frame_count == 1
+        state = state._replace(
+            edge_map_valid=state.edge_map_valid & ~drop0,
+            surf_map_valid=state.surf_map_valid & ~drop0)
 
     maps = _update_maps(state, feats, q_new, p_new, cfg)
     new_state = MapState(

@@ -284,6 +284,45 @@ def render_camera_image(scene: RaycastScene, R_wc, p_wc, fx, fy, cx, cy,
     return img.reshape(height, width).astype(np.float32)
 
 
+def simulate_lidar_scan_distorted(scene, traj, t_end, frame_dt, body_offset,
+                                  n_scan=32, width=900, fov_up_deg=30.0,
+                                  fov_down_deg=-30.0, max_range=80.0,
+                                  n_segments=10):
+    """Rolling-shutter LiDAR: the azimuth sweep spans [t_end - frame_dt,
+    t_end]; each azimuth segment is raycast from the sensor pose at its
+    capture time and expressed in THAT body frame (raw spinning-lidar
+    behavior). Ground truth frame = end-of-scan pose."""
+    seg_w = width // n_segments
+    pts = np.zeros((n_scan * width, 3), np.float32)
+    val = np.zeros((n_scan * width,), bool)
+    for g in range(n_segments):
+        s_frac = (g + 0.5) / n_segments
+        t_g = t_end - (1.0 - s_frac) * frame_dt
+        R_g = traj.rotation(t_g)
+        p_g = traj.position(t_g) + body_offset
+        p_full, v_full = simulate_lidar_scan(
+            _SceneView(scene), R_g, p_g, n_scan=n_scan, width=width,
+            fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
+            max_range=max_range)
+        cols = slice(g * seg_w, (g + 1) * seg_w)
+        m = np.zeros((n_scan, width), bool)
+        m[:, cols] = True
+        m = m.reshape(-1)
+        pts[m] = p_full[m]
+        val[m] = v_full[m]
+    return pts, val
+
+
+class _SceneView:
+    """Pass-through (kept for symmetry / future subsetting)."""
+
+    def __init__(self, scene):
+        self._s = scene
+
+    def raycast(self, o, d, max_range=80.0):
+        return self._s.raycast(o, d, max_range)
+
+
 def simulate_lidar_scan(scene: RaycastScene, R_wb, p_wb, n_scan: int = 32,
                         width: int = 900, fov_up_deg: float = 30.0,
                         fov_down_deg: float = -30.0, max_range: float = 80.0,
