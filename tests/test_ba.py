@@ -202,3 +202,21 @@ def test_extrinsic_self_calibration():
     err1 = float(jnp.linalg.norm(lie.so3_log(
         lie.qmul(lie.qconj(state1.qic), state_gt.qic))))
     assert err1 < 0.35 * err0, (err0, err1)
+
+
+def test_td_estimation():
+    """estimate_td=True: synthetic time offset applied to observations via
+    their velocities must be recovered (ProjectionTdFactor capability)."""
+    state_gt, feats, pre, lidar, _ = make_vio_problem()
+    td_true = 0.02
+    rng = np.random.default_rng(4)
+    # synthesize velocities and shift observations: obs_measured = obs_true +
+    # td * vel (the td factor corrects obs by -td * vel)
+    vel = rng.uniform(-0.5, 0.5, feats.vel.shape).astype(np.float32)
+    feats = feats._replace(
+        vel=jnp.asarray(vel),
+        obs=feats.obs + td_true * jnp.asarray(vel))
+    cfg = ba.BAConfig(estimate_td=True, max_iters=16)
+    prior = ba.empty_prior(state_gt)
+    state1, _, _ = ba.optimize(state_gt, feats, pre, lidar, prior, cfg)
+    assert abs(float(state1.td) - td_true) < 0.006, float(state1.td)

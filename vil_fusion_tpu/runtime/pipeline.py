@@ -210,10 +210,20 @@ class VILFusionPipeline:
     # ------------------------------------------------------------------
     def _restart(self):
         """restart_callback analog (estimator_node.cpp:199-218): flush and
-        reinitialize the estimator; tracker and maps survive."""
+        reinitialize the estimator; tracker and maps survive. In LiDAR modes
+        the reboot is seeded from the surviving LiDAR odometry pose so the
+        estimator resumes in a consistent world frame instead of re-running
+        visual-inertial initialization from scratch."""
         self.estimator = est_mod.VILEstimator(self.est_cfg)
         self.estimator.set_extrinsics(qic=self.rig.q_ic, tic=self.rig.t_ic,
                                       td=self.rig.td)
+        if self.mode == "vil" and int(self.lidar_state.frame_count) > 1:
+            ls = self.lidar_state
+            dt = 0.1
+            v_est = np.asarray(lie.qrot(ls.q_prev, lie.pose_between(
+                (ls.q_prev, ls.p_prev), (ls.q, ls.p))[1])) / dt
+            self.estimator.set_initial_state(
+                p=np.asarray(ls.p), q=np.asarray(ls.q), v=v_est)
         self._hr = None
         self.restarts += 1
         self.sequence = getattr(self, "sequence", 0) + 1  # new_sequence()
