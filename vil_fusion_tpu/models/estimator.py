@@ -254,7 +254,17 @@ class VILEstimator:
     def _imu_segment(self, acc, gyr, dts, slot):
         cap = self.cfg.imu_cap
         n = len(acc)
-        assert n <= cap, f"IMU segment {n} exceeds capacity {cap}"
+        if n > cap:
+            # camera gap shorter than the restart watchdog: decimate the
+            # segment (every stride-th sample, dt re-summed) instead of
+            # crashing — total integration time is preserved exactly
+            stride = -(-n // cap)  # ceil
+            keep = np.arange(0, n, stride)
+            cum = np.concatenate([[0.0], np.cumsum(dts[: n - 1])])
+            acc = acc[keep]
+            gyr = gyr[keep]
+            dts = np.diff(np.concatenate([cum[keep], cum[-1:]]))
+            n = len(acc)
         acc_b = np.zeros((cap, 3), np.float32)
         gyr_b = np.zeros((cap, 3), np.float32)
         dt_b = np.zeros((cap - 1,), np.float32)

@@ -72,8 +72,12 @@ class GlobalFusion:
         p_odom = jnp.asarray(p_odom, self.dtype)
         if not self.is_keyframe(q_odom, p_odom):
             return None
+        self.last_q = np.asarray(q_odom)
+        self.last_p = np.asarray(p_odom)
         cfg = self.cfg
         i = self.n_kf
+        if i >= cfg.node_capacity:
+            return None  # graph full
 
         # odometry edge from previous keyframe
         if i == 0:

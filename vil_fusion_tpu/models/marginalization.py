@@ -270,11 +270,19 @@ def slide_new(
         lambda a, b: jnp.where(overflow, a, b),
         decimate(pre.acc_buf[i], pre.gyr_buf[i], pre.dt_buf[i], n1),
         (pre.acc_buf[i], pre.gyr_buf[i], pre.dt_buf[i], n1))
+    # a single 2x pass can still overflow (n1/2 + n2 - 1 > cap when n2 is
+    # near cap); decimating segment j as well guarantees a fit since
+    # ceil(n1/2) + ceil(n2/2) - 1 <= cap for n1, n2 <= cap
+    overflow2 = n1 + n2 - 1 > cap
+    acc_j, gyr_j, dt_j, n2 = jax.tree.map(
+        lambda a, b: jnp.where(overflow2, a, b),
+        decimate(pre.acc_buf[j], pre.gyr_buf[j], pre.dt_buf[j], n2),
+        (pre.acc_buf[j], pre.gyr_buf[j], pre.dt_buf[j], n2))
     pre = pre._replace(
-        acc_buf=pre.acc_buf.at[i].set(acc_i),
-        gyr_buf=pre.gyr_buf.at[i].set(gyr_i),
-        dt_buf=pre.dt_buf.at[i].set(dt_i),
-        n_samples=pre.n_samples.at[i].set(n1))
+        acc_buf=pre.acc_buf.at[i].set(acc_i).at[j].set(acc_j),
+        gyr_buf=pre.gyr_buf.at[i].set(gyr_i).at[j].set(gyr_j),
+        dt_buf=pre.dt_buf.at[i].set(dt_i).at[j].set(dt_j),
+        n_samples=pre.n_samples.at[i].set(n1).at[j].set(n2))
 
     def roll_append(buf_i, buf_j, n1):
         # place buf_j[1:] starting at position n1 in a fresh buffer

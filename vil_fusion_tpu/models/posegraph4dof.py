@@ -32,6 +32,12 @@ class PoseGraph4DoF(NamedTuple):
     seq: jnp.ndarray  # (N,) int32 session id (multi-sequence support:
     #   sequential edges never straddle a sequence boundary; loop edges
     #   between sequences stitch the sessions — pose_graph.cpp:45-126)
+    # immutable VIO poses at insertion: sequential-edge MEASUREMENTS come
+    # from these, never from the optimized state (the reference keeps
+    # vio_T separately, pose_graph.cpp:436-470); deriving measurements from
+    # current poses would bake the drift jump into the first post-loop edge
+    vio_p: jnp.ndarray  # (N, 3)
+    vio_yaw: jnp.ndarray  # (N,)
     n_nodes: jnp.ndarray
     loop_i: jnp.ndarray  # (L,)
     loop_j: jnp.ndarray
@@ -46,6 +52,7 @@ def init_graph(capacity: int = 4096, loop_capacity: int = 256, dtype=jnp.float32
     return PoseGraph4DoF(
         p=z(capacity, 3), yaw=z(capacity), pitch=z(capacity), roll=z(capacity),
         seq=jnp.zeros((capacity,), jnp.int32),
+        vio_p=z(capacity, 3), vio_yaw=z(capacity),
         n_nodes=jnp.zeros((), jnp.int32),
         loop_i=jnp.zeros((loop_capacity,), jnp.int32),
         loop_j=jnp.zeros((loop_capacity,), jnp.int32),
@@ -56,11 +63,14 @@ def init_graph(capacity: int = 4096, loop_capacity: int = 256, dtype=jnp.float32
 
 @jax.jit
 def add_node(graph: PoseGraph4DoF, p, yaw, pitch, roll, seq=0):
+    """`p`/`yaw` double as the initial state AND the VIO measurement pose
+    (callers insert raw VIO keyframe poses)."""
     i = jnp.minimum(graph.n_nodes, graph.p.shape[0] - 1)
     return graph._replace(
         p=graph.p.at[i].set(p), yaw=graph.yaw.at[i].set(yaw),
         pitch=graph.pitch.at[i].set(pitch), roll=graph.roll.at[i].set(roll),
         seq=graph.seq.at[i].set(jnp.int32(seq)),
+        vio_p=graph.vio_p.at[i].set(p), vio_yaw=graph.vio_yaw.at[i].set(yaw),
         n_nodes=graph.n_nodes + 1)
 
 
@@ -125,10 +135,10 @@ def optimize(graph: PoseGraph4DoF, gn_iters: int = 10, cg_iters: int = 64,
     seq_valid = ((seq_j < graph.n_nodes) & (seq_j > seq_i)
                  & (graph.seq[seq_i] == graph.seq[seq_j]))
 
-    R_i0 = _R_ypr(graph.yaw[seq_i], graph.pitch[seq_i], graph.roll[seq_i])
+    R_i0 = _R_ypr(graph.vio_yaw[seq_i], graph.pitch[seq_i], graph.roll[seq_i])
     seq_t = jnp.einsum("nij,nj->ni", jnp.swapaxes(R_i0, 1, 2),
-                       graph.p[seq_j] - graph.p[seq_i])
-    seq_yaw = graph.yaw[seq_j] - graph.yaw[seq_i]
+                       graph.vio_p[seq_j] - graph.vio_p[seq_i])
+    seq_yaw = graph.vio_yaw[seq_j] - graph.vio_yaw[seq_i]
 
     ei = jnp.concatenate([seq_i, graph.loop_i])
     ej = jnp.concatenate([seq_j, graph.loop_j])

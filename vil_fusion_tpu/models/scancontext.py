@@ -66,11 +66,17 @@ def ring_key(desc: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def add_keyframe(db: ScanContextDB, desc: jnp.ndarray) -> ScanContextDB:
-    i = jnp.minimum(db.count, db.desc.shape[0] - 1)
+    """Insert at `count`; a full DB drops the insert (clamping the index
+    while growing `count` would leave the CURRENT query in the last slot and
+    defeat the recency exclusion)."""
+    cap = db.desc.shape[0]
+    ok = db.count < cap
+    i = jnp.minimum(db.count, cap - 1)
+    desc_w = jnp.where(ok, desc, db.desc[i])
     return ScanContextDB(
-        desc=db.desc.at[i].set(desc),
-        ring_key=db.ring_key.at[i].set(ring_key(desc)),
-        count=db.count + 1,
+        desc=db.desc.at[i].set(desc_w),
+        ring_key=db.ring_key.at[i].set(ring_key(desc_w)),
+        count=db.count + ok.astype(db.count.dtype),
     )
 
 

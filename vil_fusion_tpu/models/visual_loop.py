@@ -79,6 +79,8 @@ class VisualLoopDB:
         omits sequential edges across session boundaries; a verified loop
         between sessions stitches them (pose_graph.cpp:45-126 merge)."""
         cfg = self.cfg
+        if self.n >= cfg.capacity:
+            return None  # DB full: stop inserting (caller tolerates None)
         i = self.n
         img = jnp.asarray(img, jnp.float32)
 
@@ -205,7 +207,9 @@ class VisualLoopDB:
             q=self.q[: self.n], p=self.p[: self.n],
             graph_p=np.asarray(self.graph.p), graph_yaw=np.asarray(self.graph.yaw),
             graph_pitch=np.asarray(self.graph.pitch), graph_roll=np.asarray(self.graph.roll),
-            graph_seq=np.asarray(self.graph.seq))
+            graph_seq=np.asarray(self.graph.seq),
+            graph_vio_p=np.asarray(self.graph.vio_p),
+            graph_vio_yaw=np.asarray(self.graph.vio_yaw))
 
     def load(self, path: str):
         """loadPoseGraph analog (pose_graph.cpp:756-874)."""
@@ -229,6 +233,10 @@ class VisualLoopDB:
             roll=g.roll.at[: len(d["graph_roll"])].set(jnp.asarray(d["graph_roll"])),
             seq=(g.seq.at[: len(d["graph_seq"])].set(jnp.asarray(d["graph_seq"]))
                  if "graph_seq" in d else g.seq),
+            vio_p=(g.vio_p.at[: len(d["graph_vio_p"])].set(jnp.asarray(d["graph_vio_p"]))
+                   if "graph_vio_p" in d else g.vio_p),
+            vio_yaw=(g.vio_yaw.at[: len(d["graph_vio_yaw"])].set(jnp.asarray(d["graph_vio_yaw"]))
+                     if "graph_vio_yaw" in d else g.vio_yaw),
             n_nodes=jnp.int32(n))
 
 

@@ -233,6 +233,31 @@ class VILFusionPipeline:
         self.imu_buf = [s for s in self.imu_buf if s[0] > t + 1e-9]
         return seg
 
+    def _imu_segment_for_frame(self, t):
+        """Samples spanning the FULL inter-frame interval: the boundary
+        sample consumed by the previous frame is re-used as this segment's
+        first sample, and the last interval is extended to the frame time
+        (getMeasurements boundary handling, estimator_node.cpp:100-155 —
+        without this every segment under-integrates by ~one IMU period)."""
+        seg = self._pop_imu_until(t)
+        prev = getattr(self, "_imu_boundary", None)
+        if prev is not None and (not seg or prev[0] < seg[0][0] - 1e-9):
+            seg = [prev] + seg
+        if seg:
+            self._imu_boundary = seg[-1]
+        if not seg:
+            return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+        ts_ = np.array([s[0] for s in seg])
+        acc = np.stack([s[1] for s in seg])
+        gyr = np.stack([s[2] for s in seg])
+        dts = np.diff(ts_)
+        if t - ts_[-1] > 1e-6:
+            # extend to the frame epoch with a held last sample
+            acc = np.concatenate([acc, acc[-1:]])
+            gyr = np.concatenate([gyr, gyr[-1:]])
+            dts = np.concatenate([dts, [t - ts_[-1]]])
+        return acc, gyr, dts
+
     def _try_process(self):
         need_scan = self.mode in ("vil", "lidar")
         if not self.image_buf and self.mode != "lidar":
@@ -314,16 +339,8 @@ class VILFusionPipeline:
                     self.fusion.add_frame(lq, lp, jnp.asarray(pts, jnp.float32),
                                           jnp.asarray(val))
 
-        # 3. IMU segment
-        seg = self._pop_imu_until(t)
-        if seg:
-            acc = np.stack([s[1] for s in seg])
-            gyr = np.stack([s[2] for s in seg])
-            ts_ = np.array([s[0] for s in seg])
-            dts = np.diff(ts_, append=t)  # last sample extends to frame time
-        else:
-            acc = gyr = np.zeros((0, 3))
-            dts = np.zeros((0,))
+        # 3. IMU segment (full-interval spanning, boundary-sample reuse)
+        acc, gyr, dts = self._imu_segment_for_frame(t)
 
         # 4. estimator
         valid = np.asarray(obs["valid"])
@@ -352,11 +369,10 @@ class VILFusionPipeline:
         self.outputs.vio_q.append(q_est)
         if self.visual_loop is not None:
             self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
-            from vil_fusion_tpu.runtime.sim import R_to_q
-
             R_c = self.loop_drift_R @ np.asarray(
                 lie.q2R(jnp.asarray(q_est, jnp.float32)))
-            self.outputs.loop_q.append(R_to_q(R_c.astype(np.float64)))
+            self.outputs.loop_q.append(np.asarray(
+                lie.R2q(jnp.asarray(R_c, jnp.float32))))
         self.outputs.lidar_p.append(np.asarray(self.lidar_state.p))
         self.outputs.lidar_q.append(np.asarray(self.lidar_state.q))
         self.last_processed_t = t
@@ -387,6 +403,8 @@ class VILFusionPipeline:
         i_cur = db.add_keyframe(img, q_est, p_est, pts_w, px,
                                 np.ones(len(px), bool), self.cam,
                                 sequence=getattr(self, "sequence", 0))
+        if i_cur is None:
+            return  # keyframe DB full
         self._last_kf_p = np.asarray(p_est)  # gate only on successful insert
         cand = db.detect(i_cur)
         if cand is None:
