@@ -18,6 +18,22 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 
+_HEAVY_MODULES = ("test_ba", "test_estimator", "test_lidar", "test_loops",
+                  "test_pipeline", "test_initialization", "test_visual_loop")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module(request):
+    """Release compiled executables after compile-heavy modules: the CPU
+    backend's LLVM JIT segfaults nondeterministically once hundreds of
+    programs accumulate in one process (observed in full-suite runs).
+    Clearing only after the heavy modules bounds the live executable count
+    without forcing recompiles of the cheap shared helpers."""
+    yield
+    if any(request.module.__name__.startswith(m) for m in _HEAVY_MODULES):
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     devs = jax.devices()

@@ -207,6 +207,109 @@ def failure_detection(state: WindowState, state_prev_p, state_prev_q) -> jnp.nda
 
 
 # ---------------------------------------------------------------------------
+# Fused full-window frame step (one device program per frame)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fused_full_step(
+    window: WindowState,
+    feats: FeatureStore,
+    pre: StackedPreint,
+    lidar: LidarConstraints,
+    prior,
+    acc_b, gyr_b, dt_b, n_imu,  # padded IMU segment buffers + count
+    ids_b, xy_b, vel_b, dep_b,  # padded feature observations
+    lidar_q_rel, lidar_p_rel, lidar_valid,
+    run_ba,  # bool scalar: initialized (BA + failure detection active)
+    cfg: EstimatorConfig,
+):
+    """The entire full-window frame: IMU segment + propagate + lidar
+    constraint + feature ingest + keyframe decision + triangulate + BA +
+    marginalize + slide — one XLA program.
+
+    The host-orchestrated version dispatches ~10 kernels plus dozens of small
+    host<->device reads per frame; under any dispatch latency (remote TPU
+    especially) that dominates wall clock. This is the 'frame-synchronous
+    pipeline of jitted stages' the SURVEY design calls for.
+
+    Returns (window, feats, pre, lidar, prior, outputs dict).
+    """
+    fc = K - 1
+    gravity = jnp.asarray(cfg.ba.gravity, window.p.dtype)
+
+    # --- IMU segment into slot K-1 + state propagation ---
+    seg = make_segment(acc_b, gyr_b, dt_b, n_imu, window.ba[fc - 1],
+                       window.bg[fc - 1], cfg.imu_noise, cfg.imu_cap)
+    pre_d = pre._asdict()
+    pre = StackedPreint(**{k: pre_d[k].at[fc].set(seg[k]) for k in pre_d})
+    has_imu = n_imu > 0
+    p_j, q_j, v_j = propagate_from_segment(
+        window, seg["dp"], seg["dq"], seg["dv"], seg["dt_sum"],
+        jnp.int32(fc - 1), gravity)
+    window = window._replace(
+        p=window.p.at[fc].set(jnp.where(has_imu, p_j, window.p[fc])),
+        q=window.q.at[fc].set(jnp.where(has_imu, q_j, window.q[fc])),
+        v=window.v.at[fc].set(jnp.where(has_imu, v_j, window.v[fc])),
+        ba=window.ba.at[fc].set(window.ba[fc - 1]),
+        bg=window.bg.at[fc].set(window.bg[fc - 1]))
+
+    # --- lidar inter-frame constraint ---
+    lidar = LidarConstraints(
+        q_rel=lidar.q_rel.at[fc].set(jnp.where(lidar_valid, lidar_q_rel,
+                                               lidar.q_rel[fc])),
+        p_rel=lidar.p_rel.at[fc].set(jnp.where(lidar_valid, lidar_p_rel,
+                                               lidar.p_rel[fc])),
+        valid=lidar.valid.at[fc].set(lidar_valid))
+
+    # --- features + keyframe decision ---
+    feats = ingest_features(feats, ids_b, xy_b, vel_b, dep_b, jnp.int32(fc))
+    is_key = keyframe_decision(feats, jnp.int32(fc), cfg.min_parallax,
+                               cfg.min_track_for_nonkey)
+
+    # --- triangulate + BA (only when initialized) ---
+    prev_p = window.p[K - 1]
+    prev_q = window.q[K - 1]
+
+    def do_ba(args):
+        window, feats = args
+        feats = triangulate(window, feats, cfg.tri_min_depth)
+        w2, f2, cost = ba.optimize(window, feats, pre, lidar, prior, cfg.ba)
+        return w2, f2, cost
+
+    def skip_ba(args):
+        window, feats = args
+        return window, feats, jnp.zeros((), window.p.dtype)
+
+    window, feats, cost = jax.lax.cond(run_ba, do_ba, skip_ba, (window, feats))
+    failed = run_ba & failure_detection(window, prev_p, prev_q)
+
+    out_p = window.p[K - 1]
+    out_q = window.q[K - 1]
+    out_v = window.v[K - 1]
+
+    # --- marginalize + slide (keyframe vs non-keyframe path) ---
+    def key_path(args):
+        window, feats, pre, lidar, prior = args
+        new_prior = marg.marginalize_old(window, feats, pre, lidar, prior, cfg.ba)
+        w, f, p_, l_ = marg.slide_old(window, feats, pre, lidar, cfg.imu_noise)
+        return w, f, p_, l_, new_prior
+
+    def nonkey_path(args):
+        window, feats, pre, lidar, prior = args
+        w, f, p_, l_ = marg.slide_new(window, feats, pre, lidar,
+                                      cfg.imu_noise, cfg.imu_cap)
+        new_prior = marg.marginalize_second_new(prior, w)
+        return w, f, p_, l_, new_prior
+
+    window, feats, pre, lidar, prior = jax.lax.cond(
+        is_key, key_path, nonkey_path, (window, feats, pre, lidar, prior))
+
+    outputs = dict(p=out_p, q=out_q, v=out_v, cost=cost, failed=failed,
+                   is_key=is_key)
+    return window, feats, pre, lidar, prior, outputs
+
+
+# ---------------------------------------------------------------------------
 # Host-side estimator
 # ---------------------------------------------------------------------------
 
@@ -251,14 +354,112 @@ class VILEstimator:
             td=jnp.asarray(td, self.dtype))
 
     # -- per-frame processing ------------------------------------------------
-    def _imu_segment(self, acc, gyr, dts, slot):
+    def process_frame(self, imu_acc, imu_gyr, imu_dt, obs_ids, obs_xy,
+                      obs_vel=None, obs_depth=None, lidar_q_rel=None,
+                      lidar_p_rel=None):
+        """One synchronized frame bundle. Returns (p, q, v) of the newest frame.
+
+        imu_acc/imu_gyr: (n, 3) samples since previous frame (empty for first).
+        obs_ids/obs_xy: per-frame feature observations (normalized plane).
+        lidar_*_rel: relative body pose from LiDAR odometry since prev frame.
+        """
+        cfg = self.cfg
+        fc = min(self.frame_count, K - 1)
+        M = cfg.obs_cap
+
+        # --- pack fixed-capacity buffers (one host pass) ---
+        ids_b = np.full((M,), -1, np.int32)
+        xy_b = np.zeros((M, 2), np.float32)
+        vel_b = np.zeros((M, 2), np.float32)
+        dep_b = np.zeros((M,), np.float32)
+        m = min(len(obs_ids), M)
+        ids_b[:m] = obs_ids[:m]
+        xy_b[:m] = obs_xy[:m]
+        if obs_vel is not None:
+            vel_b[:m] = obs_vel[:m]
+        if obs_depth is not None:
+            dep_b[:m] = obs_depth[:m]
+        acc_b, gyr_b, dt_b, n_imu = self._pack_imu(imu_acc, imu_gyr, imu_dt)
+        has_lidar = lidar_q_rel is not None and fc > 0
+        lqr = np.asarray(lidar_q_rel if has_lidar else [1.0, 0, 0, 0], np.float32)
+        lpr = np.asarray(lidar_p_rel if has_lidar else [0.0, 0, 0], np.float32)
+
+        # --- steady state: one fused device program per frame ---
+        if self.frame_count >= K - 1 and self.initialized:
+            (self.window, self.feats, self.pre, self.lidar, self.prior,
+             out) = fused_full_step(
+                self.window, self.feats, self.pre, self.lidar, self.prior,
+                jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
+                jnp.int32(n_imu), jnp.asarray(ids_b), jnp.asarray(xy_b),
+                jnp.asarray(vel_b), jnp.asarray(dep_b),
+                jnp.asarray(lqr), jnp.asarray(lpr), jnp.asarray(bool(has_lidar)),
+                jnp.asarray(True), cfg)
+            host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
+                                   out["failed"]))
+            self.last_cost = float(host[3])
+            if bool(host[4]):
+                self.failed = True
+            return np.asarray(host[0]), np.asarray(host[1]), np.asarray(host[2])
+
+        # --- filling phase / cold start: host-orchestrated path ---
+        if fc > 0 and n_imu > 0:
+            seg = self._store_segment(acc_b, gyr_b, dt_b, n_imu, fc)
+            p_j, q_j, v_j = propagate_from_segment(
+                self.window, seg["dp"], seg["dq"], seg["dv"], seg["dt_sum"],
+                jnp.int32(fc - 1), self.gravity)
+            self.window = self.window._replace(
+                p=self.window.p.at[fc].set(p_j),
+                q=self.window.q.at[fc].set(q_j),
+                v=self.window.v.at[fc].set(v_j),
+                ba=self.window.ba.at[fc].set(self.window.ba[fc - 1]),
+                bg=self.window.bg.at[fc].set(self.window.bg[fc - 1]))
+        if has_lidar:
+            self.lidar = LidarConstraints(
+                q_rel=self.lidar.q_rel.at[fc].set(jnp.asarray(lqr)),
+                p_rel=self.lidar.p_rel.at[fc].set(jnp.asarray(lpr)),
+                valid=self.lidar.valid.at[fc].set(True))
+        self.feats = ingest_features(
+            self.feats, jnp.asarray(ids_b), jnp.asarray(xy_b),
+            jnp.asarray(vel_b), jnp.asarray(dep_b), jnp.int32(fc))
+
+        if self.frame_count < K - 1:
+            self.frame_count += 1
+            return self._current_pose(fc)
+
+        # --- cold start: visual-inertial initialization (initialStructure) ---
+        if not self.initialized:
+            self._try_initialize()
+        if self.initialized:
+            prev_p = self.window.p[K - 1]
+            prev_q = self.window.q[K - 1]
+            self.feats = triangulate(self.window, self.feats, cfg.tri_min_depth)
+            self.window, self.feats, cost = ba.optimize(
+                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
+            self.last_cost = float(cost)
+            if bool(failure_detection(self.window, prev_p, prev_q)):
+                self.failed = True
+
+        is_key = bool(keyframe_decision(
+            self.feats, jnp.int32(fc), cfg.min_parallax, cfg.min_track_for_nonkey))
+        if is_key:
+            self.prior = marg.marginalize_old(
+                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
+            self.window, self.feats, self.pre, self.lidar = marg.slide_old(
+                self.window, self.feats, self.pre, self.lidar, cfg.imu_noise)
+        else:
+            self.window, self.feats, self.pre, self.lidar = marg.slide_new(
+                self.window, self.feats, self.pre, self.lidar, cfg.imu_noise,
+                cfg.imu_cap)
+            self.prior = marg.marginalize_second_new(self.prior, self.window)
+
+        return self._current_pose(K - 1)
+
+    def _pack_imu(self, acc, gyr, dts):
+        """Pad/decimate raw IMU arrays into fixed-capacity buffers."""
         cap = self.cfg.imu_cap
         n = len(acc)
         if n > cap:
-            # camera gap shorter than the restart watchdog: decimate the
-            # segment (every stride-th sample, dt re-summed) instead of
-            # crashing — total integration time is preserved exactly
-            stride = -(-n // cap)  # ceil
+            stride = -(-n // cap)  # ceil: decimate, preserving total time
             keep = np.arange(0, n, stride)
             cum = np.concatenate([[0.0], np.cumsum(dts[: n - 1])])
             acc = acc[keep]
@@ -274,98 +475,16 @@ class VILEstimator:
             acc_b[n:] = acc[-1]
             gyr_b[n:] = gyr[-1]
             dt_b[: n - 1] = dts[: n - 1]
+        return acc_b, gyr_b, dt_b, n
+
+    def _store_segment(self, acc_b, gyr_b, dt_b, n, slot):
         seg = make_segment(
             jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
             jnp.int32(n), self.window.ba[slot], self.window.bg[slot],
-            self.cfg.imu_noise, cap)
+            self.cfg.imu_noise, self.cfg.imu_cap)
         pre_d = self.pre._asdict()
         self.pre = StackedPreint(**{k: pre_d[k].at[slot].set(seg[k]) for k in pre_d})
         return seg
-
-    def process_frame(self, imu_acc, imu_gyr, imu_dt, obs_ids, obs_xy,
-                      obs_vel=None, obs_depth=None, lidar_q_rel=None,
-                      lidar_p_rel=None):
-        """One synchronized frame bundle. Returns (p, q, v) of the newest frame.
-
-        imu_acc/imu_gyr: (n, 3) samples since previous frame (empty for first).
-        obs_ids/obs_xy: per-frame feature observations (normalized plane).
-        lidar_*_rel: relative body pose from LiDAR odometry since prev frame.
-        """
-        cfg = self.cfg
-        fc = min(self.frame_count, K - 1)
-        M = cfg.obs_cap
-
-        # --- IMU segment into slot fc (segment frame fc-1 -> fc) ---
-        if fc > 0 and len(imu_acc):
-            seg = self._imu_segment(imu_acc, imu_gyr, imu_dt, fc)
-            p_j, q_j, v_j = propagate_from_segment(
-                self.window, seg["dp"], seg["dq"], seg["dv"], seg["dt_sum"],
-                jnp.int32(fc - 1), self.gravity)
-            self.window = self.window._replace(
-                p=self.window.p.at[fc].set(p_j),
-                q=self.window.q.at[fc].set(q_j),
-                v=self.window.v.at[fc].set(v_j),
-                ba=self.window.ba.at[fc].set(self.window.ba[fc - 1]),
-                bg=self.window.bg.at[fc].set(self.window.bg[fc - 1]))
-
-        # --- LiDAR relative constraint ---
-        if lidar_q_rel is not None and fc > 0:
-            self.lidar = LidarConstraints(
-                q_rel=self.lidar.q_rel.at[fc].set(jnp.asarray(lidar_q_rel, self.dtype)),
-                p_rel=self.lidar.p_rel.at[fc].set(jnp.asarray(lidar_p_rel, self.dtype)),
-                valid=self.lidar.valid.at[fc].set(True))
-
-        # --- feature ingestion (fixed-capacity padding) ---
-        ids_b = np.full((M,), -1, np.int32)
-        xy_b = np.zeros((M, 2), np.float32)
-        vel_b = np.zeros((M, 2), np.float32)
-        dep_b = np.zeros((M,), np.float32)
-        m = min(len(obs_ids), M)
-        ids_b[:m] = obs_ids[:m]
-        xy_b[:m] = obs_xy[:m]
-        if obs_vel is not None:
-            vel_b[:m] = obs_vel[:m]
-        if obs_depth is not None:
-            dep_b[:m] = obs_depth[:m]
-        self.feats = ingest_features(
-            self.feats, jnp.asarray(ids_b), jnp.asarray(xy_b),
-            jnp.asarray(vel_b), jnp.asarray(dep_b), jnp.int32(fc))
-
-        is_key = bool(keyframe_decision(
-            self.feats, jnp.int32(fc), cfg.min_parallax, cfg.min_track_for_nonkey))
-
-        if self.frame_count < K - 1:
-            self.frame_count += 1
-            return self._current_pose(fc)
-
-        # --- cold start: visual-inertial initialization (initialStructure) ---
-        if not self.initialized:
-            self._try_initialize()
-
-        # --- window full: solve ---
-        if self.initialized:
-            prev_p = self.window.p[K - 1]
-            prev_q = self.window.q[K - 1]
-            self.feats = triangulate(self.window, self.feats, cfg.tri_min_depth)
-            self.window, self.feats, cost = ba.optimize(
-                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
-            self.last_cost = float(cost)
-            if bool(failure_detection(self.window, prev_p, prev_q)):
-                self.failed = True
-
-        # --- marginalize + slide ---
-        if is_key:
-            self.prior = marg.marginalize_old(
-                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
-            self.window, self.feats, self.pre, self.lidar = marg.slide_old(
-                self.window, self.feats, self.pre, self.lidar, cfg.imu_noise)
-        else:
-            self.window, self.feats, self.pre, self.lidar = marg.slide_new(
-                self.window, self.feats, self.pre, self.lidar, cfg.imu_noise,
-                cfg.imu_cap)
-            self.prior = marg.marginalize_second_new(self.prior, self.window)
-
-        return self._current_pose(K - 1)
 
     def _try_initialize(self) -> bool:
         """Cold-start init (estimator.cpp initialStructure :237-381 +
