@@ -454,6 +454,38 @@ class VILEstimator:
 
         return self._current_pose(K - 1)
 
+    def process_frame_device(self, acc_b, gyr_b, dt_b, n_imu,
+                             ids, xy, vel, dep,
+                             lidar_q_rel=None, lidar_p_rel=None):
+        """Device-to-device fast path for the steady state: all inputs are
+        already fixed-capacity device arrays (tracker outputs flow straight
+        into the fused step — no host round trip). Arrays must have
+        obs_cap-length leading dims; ids == -1 marks empty slots.
+
+        Falls back to the host path (packing + init) until initialized."""
+        if not (self.frame_count >= K - 1 and self.initialized):
+            val = np.asarray(ids) >= 0
+            return self.process_frame(
+                np.asarray(acc_b)[: int(n_imu)], np.asarray(gyr_b)[: int(n_imu)],
+                np.asarray(dt_b), np.asarray(ids)[val], np.asarray(xy)[val],
+                obs_vel=np.asarray(vel)[val], obs_depth=np.asarray(dep)[val],
+                lidar_q_rel=None if lidar_q_rel is None else np.asarray(lidar_q_rel),
+                lidar_p_rel=None if lidar_p_rel is None else np.asarray(lidar_p_rel))
+        has_lidar = lidar_q_rel is not None
+        lqr = lidar_q_rel if has_lidar else jnp.asarray([1.0, 0, 0, 0], self.dtype)
+        lpr = lidar_p_rel if has_lidar else jnp.zeros(3, self.dtype)
+        (self.window, self.feats, self.pre, self.lidar, self.prior,
+         out) = fused_full_step(
+            self.window, self.feats, self.pre, self.lidar, self.prior,
+            acc_b, gyr_b, dt_b, jnp.int32(n_imu), ids, xy, vel, dep,
+            lqr, lpr, jnp.asarray(bool(has_lidar)), jnp.asarray(True), self.cfg)
+        host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
+                               out["failed"]))
+        self.last_cost = float(host[3])
+        if bool(host[4]):
+            self.failed = True
+        return np.asarray(host[0]), np.asarray(host[1]), np.asarray(host[2])
+
     def _pack_imu(self, acc, gyr, dts):
         """Pad/decimate raw IMU arrays into fixed-capacity buffers."""
         cap = self.cfg.imu_cap

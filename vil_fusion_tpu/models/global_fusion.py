@@ -25,6 +25,16 @@ from vil_fusion_tpu.models import scancontext as sc
 from vil_fusion_tpu.ops import lie
 
 
+@jax.jit
+def _sc_insert_and_detect(db: sc.ScanContextDB, pts, val):
+    """Descriptor build + DB insert + loop query in one device program
+    (the host-orchestrated version paid one dispatch per stage)."""
+    desc = sc.make_descriptor(pts, val)
+    db = sc.add_keyframe(db, desc)
+    cand, dist, shift = sc.detect_loop(db, desc)
+    return db, cand, dist, shift
+
+
 class GlobalFusionConfig(NamedTuple):
     keyframe_dist: float = 2.0  # m (:518-538)
     keyframe_angle: float = 10.0 * np.pi / 180.0
@@ -59,9 +69,11 @@ class GlobalFusion:
     def is_keyframe(self, q, p) -> bool:
         if self.last_q is None:
             return True
+        q = np.asarray(q)
+        lq = np.asarray(self.last_q)
         dp = np.linalg.norm(np.asarray(p) - np.asarray(self.last_p))
-        dq = lie.qmul(lie.qconj(jnp.asarray(self.last_q)), jnp.asarray(q))
-        dth = float(jnp.linalg.norm(lie.so3_log(dq)))
+        # host-side angle check (no device dispatch on the non-keyframe path)
+        dth = 2.0 * np.arccos(np.clip(np.abs(np.dot(q, lq)), 0.0, 1.0))
         return dp > self.cfg.keyframe_dist or dth > self.cfg.keyframe_angle
 
     def add_frame(self, q_odom, p_odom, scan_points, scan_valid) -> Optional[tuple]:
@@ -97,19 +109,17 @@ class GlobalFusion:
         self.kf_q_odom.append(np.asarray(q_odom))
         self.kf_p_odom.append(np.asarray(p_odom))
 
-        # store downsampled cloud + descriptor
+        # store downsampled cloud + descriptor + loop query — one fused
+        # device call (loopDetection :598-615)
         pts = jnp.asarray(scan_points, self.dtype)
         val = jnp.asarray(scan_valid)
-        desc = sc.make_descriptor(pts, val)
-        self.scdb = sc.add_keyframe(self.scdb, desc)
+        self.scdb, cand, dist, shift = _sc_insert_and_detect(self.scdb, pts, val)
         sel = self._subsample(pts, val, cfg.cloud_capacity)
         self.clouds = self.clouds.at[i].set(sel[0])
         self.cloud_valid = self.cloud_valid.at[i].set(sel[1])
         self.n_kf += 1
 
-        # loop detection (loopDetection :598-615)
         result = None
-        cand, dist, shift = sc.detect_loop(self.scdb, desc)
         if float(dist) < cfg.sc_dist_thres:
             j = int(cand)
             accepted = self._verify_loop(i, j, float(sc.shift_to_yaw(shift)))

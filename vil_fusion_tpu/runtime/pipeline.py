@@ -105,7 +105,7 @@ class VILFusionPipeline:
                 estimate_td=rig.estimate_td,
                 estimate_extrinsic=rig.estimate_extrinsic,
                 gravity=(0.0, 0.0, rig.g_norm)),
-            f_cap=f_cap, obs_cap=max(256, f_cap),
+            f_cap=f_cap, obs_cap=max(256, f_cap),  # == tracker cap (device handoff)
             imu_noise=ImuNoise(rig.acc_n, rig.gyr_n, rig.acc_w, rig.gyr_w),
             min_parallax=rig.keyframe_parallax / 460.0)
         self.estimator = est_mod.VILEstimator(self.est_cfg)
@@ -342,15 +342,16 @@ class VILFusionPipeline:
         # 3. IMU segment (full-interval spanning, boundary-sample reuse)
         acc, gyr, dts = self._imu_segment_for_frame(t)
 
-        # 4. estimator
-        valid = np.asarray(obs["valid"])
-        ids = np.asarray(obs["ids"])[valid]
-        xy = np.asarray(obs["xy"])[valid]
-        vel = np.asarray(obs["vel"])[valid]
-        dep = np.asarray(depth)[valid] if depth is not None else None
+        # 4. estimator — device-resident handoff: tracker outputs are
+        # already fixed-capacity device arrays; the estimator's obs_cap is
+        # sized to the tracker cap in __init__ so no host repacking happens
+        acc_b, gyr_b, dt_b, n_imu = self.estimator._pack_imu(acc, gyr, dts)
+        dep_dev = (jnp.asarray(depth) if depth is not None
+                   else jnp.zeros((self.tracker_cfg.cap,), jnp.float32))
         with GLOBAL_TIMERS.timed("estimator"):
-            p_est, q_est, v_est = self.estimator.process_frame(
-                acc, gyr, dts, ids, xy, obs_vel=vel, obs_depth=dep,
+            p_est, q_est, v_est = self.estimator.process_frame_device(
+                jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
+                n_imu, obs["ids"], obs["xy"], obs["vel"], dep_dev,
                 lidar_q_rel=lidar_q_rel_imu, lidar_p_rel=lidar_p_rel_imu)
         if self.estimator.failed:
             # failureDetection reboot (estimator.cpp:212-219)
