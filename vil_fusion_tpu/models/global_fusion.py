@@ -26,6 +26,14 @@ from vil_fusion_tpu.ops import lie
 
 
 @jax.jit
+def _node_glue(q_prev_kf, p_prev_kf, q_odom, p_odom, q_graph_prev, p_graph_prev):
+    """Odometry edge + absolute init estimate in one dispatch."""
+    q_rel, p_rel = lie.pose_between((q_prev_kf, p_prev_kf), (q_odom, p_odom))
+    q_abs, p_abs = lie.pose_compose((q_graph_prev, p_graph_prev), (q_rel, p_rel))
+    return q_rel, p_rel, q_abs, p_abs
+
+
+@jax.jit
 def _sc_insert_and_detect(db: sc.ScanContextDB, pts, val):
     """Descriptor build + DB insert + loop query in one device program
     (the host-orchestrated version paid one dispatch per stage)."""
@@ -97,14 +105,10 @@ class GlobalFusion:
             p_rel = jnp.zeros(3, self.dtype)
             q_abs, p_abs = q_odom, p_odom
         else:
-            q_rel, p_rel = lie.pose_between(
-                (jnp.asarray(self.kf_q_odom[-1], self.dtype),
-                 jnp.asarray(self.kf_p_odom[-1], self.dtype)),
-                (q_odom, p_odom))
-            # initial absolute estimate: compose onto current graph estimate
-            q_prev = self.graph.q[i - 1]
-            p_prev = self.graph.p[i - 1]
-            q_abs, p_abs = lie.pose_compose((q_prev, p_prev), (q_rel, p_rel))
+            q_rel, p_rel, q_abs, p_abs = _node_glue(
+                jnp.asarray(self.kf_q_odom[-1], self.dtype),
+                jnp.asarray(self.kf_p_odom[-1], self.dtype),
+                q_odom, p_odom, self.graph.q[i - 1], self.graph.p[i - 1])
         self.graph = pg.add_node(self.graph, q_abs, p_abs, q_rel, p_rel)
         self.kf_q_odom.append(np.asarray(q_odom))
         self.kf_p_odom.append(np.asarray(p_odom))

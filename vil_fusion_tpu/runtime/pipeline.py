@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,6 +127,21 @@ class VILFusionPipeline:
             self.t_cl = jnp.zeros(3, jnp.float32)
         self.q_ic = jnp.asarray(rig.q_ic, jnp.float32)
         self.t_ic = jnp.asarray(rig.t_ic, jnp.float32)
+        # constant composed extrinsics (hoisted: eager lie ops on the hot
+        # path cost one device dispatch each)
+        q_il, t_il = lie.pose_compose((self.q_ic, self.t_ic),
+                                      (self.q_cl, self.t_cl))
+        self.q_il, self.t_il = q_il, t_il
+        self.q_li, self.t_li = lie.pose_inverse((q_il, t_il))
+
+        @jax.jit
+        def _lidar_glue(lqr, lpr, pts, q_il, t_il, q_li, t_li, q_cl, t_cl):
+            qt, pt = lie.pose_compose((q_il, t_il), (lqr, lpr))
+            q_imu, p_imu = lie.pose_compose((qt, pt), (q_li, t_li))
+            cloud_cam = lie.qrot(q_cl[None, :], pts) + t_cl[None, :]
+            return q_imu, p_imu, cloud_cam
+
+        self._lidar_glue = _lidar_glue
 
         # visual loop closure (the dormant pose_graph node's capability,
         # SURVEY §1: place recognition + 4-DoF graph + drift feedback)
@@ -321,16 +337,11 @@ class VILFusionPipeline:
                     self.lidar_state, jnp.asarray(pts, jnp.float32),
                     jnp.asarray(val), self.lidar_cfg)
             # relative pose through extrinsics into the IMU frame
-            # (lidar_factor.h composes through camera-lidar & imu-camera)
-            q_il, t_il = lie.pose_compose((self.q_ic, self.t_ic),
-                                          (self.q_cl, self.t_cl))
-            q_li, t_li = lie.pose_inverse((q_il, t_il))
-            q_tmp, p_tmp = lie.pose_compose((q_il, t_il), (lqr, lpr))
-            lidar_q_rel_imu, lidar_p_rel_imu = lie.pose_compose(
-                (q_tmp, p_tmp), (q_li, t_li))
-            # cloud into camera frame for depth association
-            cloud_cam = lie.qrot(self.q_cl[None, :],
-                                 jnp.asarray(pts, jnp.float32)) + self.t_cl[None, :]
+            # (lidar_factor.h composes through camera-lidar & imu-camera) +
+            # cloud transform, one fused dispatch
+            lidar_q_rel_imu, lidar_p_rel_imu, cloud_cam = self._lidar_glue(
+                lqr, lpr, jnp.asarray(pts, jnp.float32), self.q_il, self.t_il,
+                self.q_li, self.t_li, self.q_cl, self.t_cl)
             with GLOBAL_TIMERS.timed("depth_association"):
                 depth, _ok = depth_association.feature_depth(
                     obs["xy"], obs["valid"], cloud_cam, jnp.asarray(val))
