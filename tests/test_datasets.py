@@ -86,3 +86,21 @@ def test_euroc_reader(euroc_fixture):
     imu_evs = [e for e in evs if e[0] == "imu"]
     np.testing.assert_allclose(imu_evs[0][2], [0.1, 0.2, 9.8])
     np.testing.assert_allclose(imu_evs[0][3], [0.01, 0.02, 0.03])
+
+
+def test_run_dataset_tool_on_fixture(kitti_odom_fixture, tmp_path, monkeypatch):
+    """End-to-end CLI: fixture KITTI sequence through the lidar pipeline."""
+    import subprocess, sys, os, json
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/run_dataset.py", "--dataset", "kitti",
+         "--data", kitti_odom_fixture, "--seq", "07",
+         "--config", "configs/kitti.yaml", "--mode", "lidar", "--out", out],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(os.path.join(out, "report.json")))
+    assert rep["frames"] == 4
+    assert "ate_rmse_vio" in rep
+    assert os.path.exists(os.path.join(out, "lidar_odometry.txt"))

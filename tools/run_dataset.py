@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Run the VIL-Fusion pipeline on a dataset and write trajectories + report.
+
+The replacement for the reference's `roslaunch sensor_fusion run_fusion.launch`
++ `rosbag play` workflow (README.md:40-48):
+
+    python tools/run_dataset.py --dataset kitti --data /path/to/kitti \
+        --seq 07 --config configs/kitti.yaml --mode vil --out out/kitti07
+
+    python tools/run_dataset.py --dataset euroc --data /path/to/MH_01 \
+        --config configs/euroc.yaml --mode vio --out out/mh01
+
+Writes the three TUM trajectories (vins_result_no_loop / vins_result_loop /
+fs_loam_loop), renders the visualization suite, and reports ATE RMSE against
+ground truth when the dataset provides it.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["kitti", "kitti_raw", "euroc"],
+                    required=True)
+    ap.add_argument("--data", required=True, help="dataset root")
+    ap.add_argument("--seq", default="07", help="KITTI sequence")
+    ap.add_argument("--config", required=True, help="rig YAML")
+    ap.add_argument("--mode", default="vil",
+                    choices=["vil", "vio", "lidar", "mask"])
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--max-events", type=int, default=None)
+    ap.add_argument("--visual-loop", action="store_true")
+    args = ap.parse_args()
+
+    from vil_fusion_tpu.runtime import datasets, tum, viz
+    from vil_fusion_tpu.runtime.config import load_rig
+    from vil_fusion_tpu.runtime.pipeline import VILFusionPipeline
+    from vil_fusion_tpu.utils.tracing import GLOBAL_TIMERS
+
+    rig = load_rig(args.config)
+    pipe = VILFusionPipeline(rig, mode=args.mode, visual_loop=args.visual_loop)
+
+    if args.dataset == "kitti":
+        ds = datasets.KittiOdometry(args.data, args.seq)
+    elif args.dataset == "kitti_raw":
+        ds = datasets.KittiRaw(args.data)
+    else:
+        ds = datasets.EuRoC(args.data)
+
+    datasets.replay(pipe, ds.events(), max_events=args.max_events)
+
+    os.makedirs(args.out, exist_ok=True)
+    pipe.outputs.write(args.out, pipe.fusion)
+    viz.render_pipeline_report(pipe, args.out)
+
+    report = {"frames": len(pipe.outputs.ts), "restarts": pipe.restarts,
+              "timers": GLOBAL_TIMERS.summary()}
+    try:
+        gt = ds.ground_truth()
+        est_p = np.asarray(pipe.outputs.vio_p)
+        if args.dataset == "euroc":
+            t_gt, p_gt, _ = gt
+            ia, ib = tum.associate(np.asarray(pipe.outputs.ts), t_gt, 0.02)
+            report["ate_rmse_vio"] = tum.ate_rmse(est_p[ia], p_gt[ib])
+        else:
+            p_gt, _ = gt
+            n = min(len(est_p), len(p_gt))
+            report["ate_rmse_vio"] = tum.ate_rmse(est_p[:n], p_gt[:n])
+        if pipe.fusion is not None and pipe.fusion.n_kf:
+            _, p_loop = pipe.fusion.poses()
+            report["n_loop_closures"] = len(pipe.fusion.loops_found)
+    except Exception as e:  # ground truth optional
+        report["ate_note"] = f"no ground truth evaluated: {e}"
+
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
