@@ -19,6 +19,30 @@ import jax.numpy as jnp
 from vil_fusion_tpu.ops import image as im
 
 
+def _patch(img_padded, center, size: int, pad: int):
+    """(size, size) bilinear patch centered at fractional `center` via ONE
+    contiguous dynamic_slice + 4-tap mix. Per-pixel gather indexing lowers
+    to slow random gathers on TPU; a contiguous (size+1)^2 slice per feature
+    is the fast access pattern.
+
+    `img_padded` is edge-padded by `pad` >= size//2 + 1 so slices never
+    clamp: start-clamping silently misaligns template vs current patches for
+    features near the borders of coarse pyramid levels (observed as divergent
+    tracks). Centers are in UNPADDED image coordinates."""
+    r = size // 2
+    tl = center - r + pad  # top-left (x, y) in padded coords
+    tl_i = jnp.floor(tl)
+    fx = tl[0] - tl_i[0]
+    fy = tl[1] - tl_i[1]
+    y0 = jnp.clip(tl_i[1].astype(jnp.int32), 0, img_padded.shape[0] - size - 1)
+    x0 = jnp.clip(tl_i[0].astype(jnp.int32), 0, img_padded.shape[1] - size - 1)
+    raw = jax.lax.dynamic_slice(img_padded, (y0, x0), (size + 1, size + 1))
+    return ((1 - fx) * (1 - fy) * raw[:size, :size]
+            + fx * (1 - fy) * raw[:size, 1:]
+            + (1 - fx) * fy * raw[1:, :size]
+            + fx * fy * raw[1:, 1:])
+
+
 @functools.partial(jax.jit, static_argnames=("win_radius", "iters", "levels"))
 def track_pyramidal(
     img1: jnp.ndarray,
@@ -35,25 +59,35 @@ def track_pyramidal(
     pyr2 = im.build_pyramid(img2, levels)
     grads1 = [im.sobel(p) for p in pyr1]
 
-    r = win_radius
-    d = jnp.arange(-r, r + 1, dtype=dtype)
-    offs = jnp.stack(jnp.meshgrid(d, d, indexing="xy"), axis=-1).reshape(-1, 2)  # (P, 2)
-
+    S = 2 * win_radius + 1
+    PAD = win_radius + 2
+    epad = lambda a: jnp.pad(a, PAD, mode="edge")
     guess = pts / (2.0 ** (levels - 1))
+
+    dgrid = jnp.arange(S, dtype=dtype) - win_radius
 
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0 ** lvl
         p1_l = pts / scale
-        i1 = pyr1[lvl]
-        ix1, iy1 = grads1[lvl]
-        i2 = pyr2[lvl]
+        Hl, Wl = pyr1[lvl].shape  # unpadded level dims for in-bounds masks
+        i1 = epad(pyr1[lvl])
+        ix1 = epad(grads1[lvl][0])
+        iy1 = epad(grads1[lvl][1])
+        i2 = epad(pyr2[lvl])
+
+        def _wmask(p):
+            # separable in-bounds weights: padded content must NOT enter the
+            # normal equations (replicated edges are fabricated data and drag
+            # the solution at coarse levels where patches overlap borders)
+            wx = ((p[0] + dgrid >= 0) & (p[0] + dgrid <= Wl - 1.001)).astype(dtype)
+            wy = ((p[1] + dgrid >= 0) & (p[1] + dgrid <= Hl - 1.001)).astype(dtype)
+            return wy[:, None] * wx[None, :]
 
         def track_one(p1, g):
-            coords1 = p1[None, :] + offs
-            t, inb1 = im.bilinear_sample(i1, coords1)
-            gx, _ = im.bilinear_sample(ix1, coords1)
-            gy, _ = im.bilinear_sample(iy1, coords1)
-            w = inb1.astype(dtype)
+            t = _patch(i1, p1, S, PAD)
+            gx = _patch(ix1, p1, S, PAD)
+            gy = _patch(iy1, p1, S, PAD)
+            w = _wmask(p1)
             gxx = jnp.sum(w * gx * gx)
             gxy = jnp.sum(w * gx * gy)
             gyy = jnp.sum(w * gy * gy)
@@ -62,8 +96,8 @@ def track_pyramidal(
             inv = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-8), 0.0)
 
             def body(_, p2):
-                cur, inb2 = im.bilinear_sample(i2, p2[None, :] + offs)
-                e = (t - cur) * w * inb2.astype(dtype)
+                cur = _patch(i2, p2, S, PAD)
+                e = (t - cur) * w * _wmask(p2)
                 bx = jnp.sum(gx * e)
                 by = jnp.sum(gy * e)
                 dx = inv * (gyy * bx - gxy * by)
@@ -80,10 +114,14 @@ def track_pyramidal(
     H, W = img1.shape
     inb = ((guess[:, 0] >= 1) & (guess[:, 0] < W - 1)
            & (guess[:, 1] >= 1) & (guess[:, 1] < H - 1))
+
     # final appearance check: mean abs residual over the window
+    p1_pad = epad(pyr1[0])
+    p2_pad = epad(pyr2[0])
+
     def resid(p1, p2):
-        t, _ = im.bilinear_sample(pyr1[0], p1[None, :] + offs)
-        c, _ = im.bilinear_sample(pyr2[0], p2[None, :] + offs)
+        t = _patch(p1_pad, p1, S, PAD)
+        c = _patch(p2_pad, p2, S, PAD)
         return jnp.mean(jnp.abs(t - c))
 
     res = jax.vmap(resid)(pts, guess)

@@ -76,9 +76,12 @@ def build_pyramid(img: jnp.ndarray, levels: int):
 
 
 def max_pool_same(img: jnp.ndarray, radius: int):
-    return jax.lax.reduce_window(
-        img, -jnp.inf, jax.lax.max,
-        (2 * radius + 1, 2 * radius + 1), (1, 1), "SAME")
+    """Separable max pool: two 1-D windows instead of one (2r+1)^2 window —
+    a 61x61 2-D reduce_window costs ~30x more and dominated feature
+    detection at KITTI image sizes."""
+    w = 2 * radius + 1
+    tmp = jax.lax.reduce_window(img, -jnp.inf, jax.lax.max, (w, 1), (1, 1), "SAME")
+    return jax.lax.reduce_window(tmp, -jnp.inf, jax.lax.max, (1, w), (1, 1), "SAME")
 
 
 def shi_tomasi_response(img: jnp.ndarray, window_radius: int = 1):
