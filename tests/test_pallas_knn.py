@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vil_fusion_tpu.ops import knn as knn_xla
-from vil_fusion_tpu.ops.pallas.knn_pallas import knn_pallas
+from vil_fusion_tpu.ops.pallas.knn_pallas import knn_pallas, knn_pallas_sparse
 
 
 def test_pallas_knn_matches_xla():
@@ -22,6 +22,71 @@ def test_pallas_knn_matches_xla():
     ref = np.where(np.isfinite(d_ref), d_ref, 0.0)
     got = np.where(np.isfinite(np.asarray(d_pl)), got, 0.0)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_knn_sparse_exact_within_radius():
+    """Morton/AABB block-skipping kNN must agree exactly with brute force for
+    every query whose k-th neighbour is within the radius (the LOAM
+    correspondence gate: d2[:, -1] < max_corr_dist^2)."""
+    rng = np.random.default_rng(3)
+    radius = 3.0
+    # clustered points (like a lidar map) so skipping actually kicks in
+    centers = rng.uniform(-40, 40, (20, 3))
+    db_np = (centers[rng.integers(0, 20, 3000)]
+             + rng.normal(0, 2.0, (3000, 3))).astype(np.float32)
+    q_np = (centers[rng.integers(0, 20, 300)]
+            + rng.normal(0, 2.0, (300, 3))).astype(np.float32)
+    q = jnp.asarray(q_np)
+    db = jnp.asarray(db_np)
+    valid = jnp.asarray(rng.random(3000) > 0.1)
+    d_ref, i_ref = knn_xla.knn(q, db, valid, k=5)
+    d_sp, i_sp = knn_pallas_sparse(q, db, valid, k=5, radius=radius,
+                                   q_tile=64, db_tile=256, cell=2.0,
+                                   interpret=True)
+    d_ref = np.asarray(d_ref)
+    d_sp = np.asarray(d_sp)
+    gate_ref = d_ref[:, -1] < radius**2
+    gate_sp = d_sp[:, -1] < radius**2
+    np.testing.assert_array_equal(gate_ref, gate_sp)
+    g = gate_ref
+    assert g.sum() > 50  # the scenario actually exercises the gated path
+    np.testing.assert_allclose(d_sp[g], d_ref[g], rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i_sp)[g], np.asarray(i_ref)[g])
+
+
+def test_pallas_knn_sparse_presorted_flags():
+    """q_sorted/db_sorted skip the internal sort; with the caller applying
+    morton_sort itself the results must be identical to the self-sorting
+    path (modulo the caller's own permutation)."""
+    from vil_fusion_tpu.ops.pallas.knn_pallas import morton_sort
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.uniform(-30, 30, (200, 3)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-30, 30, (2000, 3)), jnp.float32)
+    valid = jnp.asarray(rng.random(2000) > 0.2)
+    d_ref, i_ref = knn_pallas_sparse(q, db, valid, k=4, radius=5.0,
+                                     q_tile=64, db_tile=256, interpret=True)
+    qp = morton_sort(q)
+    dp = morton_sort(db, valid)
+    d_s, i_s = knn_pallas_sparse(q[qp], db[dp], valid[dp], k=4, radius=5.0,
+                                 q_tile=64, db_tile=256,
+                                 q_sorted=True, db_sorted=True, interpret=True)
+    # d_s rows are in sorted-query order; i_s indexes the sorted db
+    inv = np.argsort(np.asarray(qp))
+    d_back = np.asarray(d_s)[inv]
+    i_back = np.asarray(dp)[np.asarray(i_s)][inv]
+    gate = np.asarray(d_ref)[:, -1] < 25.0
+    np.testing.assert_allclose(d_back[gate], np.asarray(d_ref)[gate],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(i_back[gate], np.asarray(i_ref)[gate])
+
+
+def test_pallas_knn_sparse_all_invalid_db():
+    q = jnp.zeros((70, 3), jnp.float32)
+    db = jnp.ones((500, 3), jnp.float32)
+    d, i = knn_pallas_sparse(q, db, jnp.zeros(500, bool), k=3, radius=2.0,
+                             q_tile=64, db_tile=128, interpret=True)
+    assert not np.isfinite(np.asarray(d)).any()
 
 
 def test_pallas_knn_few_valid():

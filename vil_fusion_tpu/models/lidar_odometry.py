@@ -88,19 +88,25 @@ def init_state(cfg: OdomConfig, dtype=jnp.float32) -> MapState:
 # Correspondence building (replaces EdgeCostFactor/SurfCostFactor setup)
 # ---------------------------------------------------------------------------
 
-def _map_knn(pts_w, map_pts, map_valid, cfg: OdomConfig, res, radius, origin):
+def _map_knn(pts_w, map_pts, map_valid, cfg: OdomConfig, res, radius, origin,
+             presorted: bool = False):
     if cfg.use_hash_knn and origin is not None:
         return hknn.hash_knn(pts_w, map_pts, map_valid, res, origin,
                              k=cfg.knn_k, radius=radius)
-    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+    # correspondences are gated on d2[:, -1] < max_corr_dist^2 below, so the
+    # kNN only needs to be exact within that radius — this unlocks Morton
+    # AABB block skipping in the Pallas kernel (ops/pallas/knn_pallas.py)
+    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k,
+                       radius=cfg.max_corr_dist,
+                       q_sorted=presorted, db_sorted=presorted)
 
 
 def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
-                         origin=None):
+                         origin=None, presorted: bool = False):
     """5-NN line fit per edge point: PCA direction + eigenvalue gating
     (EstimationMapping.hpp:254-270 semantics: lambda_max > 3 lambda_mid)."""
     d2, idx = _map_knn(pts_w, map_pts, map_valid, cfg, cfg.edge_map_voxel,
-                       cfg.edge_hash_radius, origin)
+                       cfg.edge_hash_radius, origin, presorted)
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     centroid = jnp.mean(nn, axis=1)
@@ -121,11 +127,11 @@ def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
 
 
 def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
-                         origin=None):
+                         origin=None, presorted: bool = False):
     """5-NN plane fit per planar point: solve A n = -1, gate on fit residual
     (SurfCostFactor :174-206 semantics)."""
     d2, idx = _map_knn(pts_w, map_pts, map_valid, cfg, cfg.surf_map_voxel,
-                       cfg.surf_hash_radius, origin)
+                       cfg.surf_hash_radius, origin, presorted)
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     # normal from A n = -1  (A = nn):  n = -(A^T A)^-1 A^T 1
@@ -196,15 +202,36 @@ def scan_to_map(
 ):
     """Register a feature scan against the local map (optimation_processing
     :235-296): n_outer association passes, n_inner damped-GN steps each."""
+    # Pre-sort both sides spatially ONCE (TPU sparse-kNN path): rigid motion
+    # across the n_outer passes preserves coherence, so one Morton sort here
+    # replaces a sort inside every kNN call. Order changes are internal —
+    # only poses leave this function.
+    if not cfg.use_hash_knn and jax.default_backend() in ("tpu", "axon"):
+        from vil_fusion_tpu.ops.pallas.knn_pallas import morton_sort
+
+        ep = morton_sort(feats.edge, feats.edge_valid)
+        sp = morton_sort(feats.surf, feats.surf_valid)
+        feats = feats._replace(
+            edge=feats.edge[ep], edge_valid=feats.edge_valid[ep],
+            surf=feats.surf[sp], surf_valid=feats.surf_valid[sp])
+        emp = morton_sort(edge_map, edge_map_valid)
+        edge_map, edge_map_valid = edge_map[emp], edge_map_valid[emp]
+        smp = morton_sort(surf_map, surf_map_valid)
+        surf_map, surf_map_valid = surf_map[smp], surf_map_valid[smp]
+        presorted = True
+    else:
+        presorted = False
 
     def outer_body(_, qp):
         q, p = qp
         e_w = lie.qrot(q, feats.edge) + p
         s_w = lie.qrot(q, feats.surf) + p
         e_cent, e_dir, e_ok = edge_correspondences(
-            e_w, feats.edge_valid, edge_map, edge_map_valid, cfg, map_origin)
+            e_w, feats.edge_valid, edge_map, edge_map_valid, cfg, map_origin,
+            presorted)
         s_n, s_d, s_ok = surf_correspondences(
-            s_w, feats.surf_valid, surf_map, surf_map_valid, cfg, map_origin)
+            s_w, feats.surf_valid, surf_map, surf_map_valid, cfg, map_origin,
+            presorted)
 
         def inner_body(_, qp):
             q, p = qp

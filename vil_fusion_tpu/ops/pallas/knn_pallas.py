@@ -131,11 +131,223 @@ def knn_pallas(queries, database, db_valid, k: int = 5,
     return jnp.maximum(out_d, 0.0), out_i
 
 
-def knn(queries, database, db_valid, k: int = 5, tile: int = 4096):
+def _spread3(x):
+    """Interleave the low 10 bits of x with two zero bits (Morton helper)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_keys(pts, origin, cell: float):
+    """30-bit 3-D Morton code per point (1024 cells/axis of size `cell`)."""
+    c = jnp.clip(((pts - origin) / cell).astype(jnp.int32), 0, 1023)
+    return _spread3(c[:, 0]) | (_spread3(c[:, 1]) << 1) | (_spread3(c[:, 2]) << 2)
+
+
+def _sparse_knn_kernel(qlo_ref, qhi_ref, dlo_ref, dhi_ref,
+                       qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
+                       best_d, best_i, *, k: int, db_tile: int, radius2: float):
+    qi = pl.program_id(0)
+    dj = pl.program_id(1)
+
+    @pl.when(dj == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, _INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    # AABB gap between this query tile and db tile: if the boxes are farther
+    # apart than the association radius, no pair in the block can pass the
+    # caller's d2 < radius^2 gate — skip the whole block (exact-within-radius).
+    # AABBs are whole-array SMEM refs (scalar memory), indexed by program id.
+    d2box = 0.0
+    for c in range(3):
+        g = jnp.maximum(jnp.maximum(dlo_ref[dj, c] - qhi_ref[qi, c],
+                                    qlo_ref[qi, c] - dhi_ref[dj, c]), 0.0)
+        d2box = d2box + g * g
+    near = d2box <= radius2
+
+    @pl.when(near)
+    def _():
+        q = qx_ref[:]
+        d = db_ref[:]
+        v = valid_ref[:]
+        dist = jnp.zeros((q.shape[0], d.shape[0]), jnp.float32)
+        for c in range(3):
+            diff = q[:, c][:, None] - d[:, c][None, :]
+            dist = dist + diff * diff
+        dist = jnp.where(v > 0.5, dist, _INF)
+
+        base = dj * db_tile
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + base
+        bd = best_d[:]
+        bi = best_i[:]
+        for _ in range(k):
+            m = jnp.min(dist, axis=1, keepdims=True)
+            amin = jnp.argmin(dist, axis=1)
+            gidx = base + amin.astype(jnp.int32)
+            worst = jnp.max(bd, axis=1, keepdims=True)
+            take = m < worst
+            is_worst = bd == worst
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+            worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1, keepdims=True)
+            repl = (slot_ids == worst_slot) & take
+            bd = jnp.where(repl, m, bd)
+            bi = jnp.where(repl, gidx[:, None], bi)
+            hit = col == gidx[:, None]
+            dist = jnp.where(hit, _INF, dist)
+        best_d[:] = bd
+        best_i[:] = bi
+    # unconditional flush (see _knn_kernel): the output block is revisited
+    # for every db tile and stale VMEM would be written back otherwise
+    out_d_ref[:] = best_d[:]
+    out_i_ref[:] = best_i[:]
+
+
+def _tile_aabb(pts, valid, tile: int):
+    """Per-tile AABB (lo, hi) of valid points, padded to 4 cols with zeros."""
+    t = pts.reshape(-1, tile, 3)
+    v = valid.reshape(-1, tile, 1)
+    lo = jnp.min(jnp.where(v, t, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(v, t, -jnp.inf), axis=1)
+    z = jnp.zeros((lo.shape[0], 1), lo.dtype)
+    return jnp.concatenate([lo, z], -1), jnp.concatenate([hi, z], -1)
+
+
+def morton_sort(pts, valid=None, cell: float = 2.0):
+    """Spatial (Morton) sort permutation; invalid points sort to the end.
+
+    Used both inside knn_pallas_sparse and by callers that pre-sort once and
+    reuse across several kNN calls (rigid motion preserves spatial coherence,
+    so a permutation computed at one pose stays tile-compact at the next)."""
+    p32 = pts.astype(jnp.float32)
+    finite = p32 if valid is None else jnp.where(valid[:, None], p32, jnp.inf)
+    origin = jnp.min(finite, axis=0) - 1e-3
+    keys = _morton_keys(p32, origin, cell)
+    if valid is not None:
+        keys = jnp.where(valid, keys, jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(keys)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius", "q_tile", "db_tile",
+                                             "cell", "q_sorted", "db_sorted",
+                                             "interpret"))
+def knn_pallas_sparse(queries, database, db_valid, k: int = 5,
+                      radius: float = 3.0, q_tile: int = 512,
+                      db_tile: int = 1024, cell: float = 2.0,
+                      q_sorted: bool = False, db_sorted: bool = False,
+                      interpret: bool = False):
+    """kNN exact for all neighbours within `radius` (farther neighbours may be
+    replaced by _INF/garbage — callers MUST gate on d2 < radius^2, which the
+    LOAM correspondence builders do via max_corr_dist).
+
+    Both sides are Morton-sorted so tiles are spatially compact; the kernel
+    skips (query tile, db tile) pairs whose AABBs are farther than `radius`.
+    On lidar-odometry maps this skips the large majority of blocks.
+
+    q_sorted/db_sorted: the caller already arranged that side to be spatially
+    coherent (e.g. via morton_sort once per frame) — skip the internal sort
+    and return results in the given order. Correctness never depends on the
+    sort; only the skip rate does."""
+    nq = queries.shape[0]
+    nd = database.shape[0]
+    q32 = queries.astype(jnp.float32)
+    db32 = database.astype(jnp.float32)
+
+    if q_sorted:
+        q_perm = None
+        qs = q32
+    else:
+        q_perm = morton_sort(q32, cell=cell)
+        qs = q32[q_perm]
+    if db_sorted:
+        d_perm = None
+        dbs = db32
+        dvs = db_valid
+    else:
+        d_perm = morton_sort(db32, db_valid, cell=cell)
+        dbs = db32[d_perm]
+        dvs = db_valid[d_perm]
+
+    pad_q = (-nq) % q_tile
+    pad_d = (-nd) % db_tile
+    # pad queries with the last (sorted) point so the pad tile stays compact
+    qs = jnp.concatenate([qs, jnp.broadcast_to(qs[-1], (pad_q, 3))], 0)
+    dbs = jnp.pad(dbs, ((0, pad_d), (0, 0)))
+    dvs = jnp.pad(dvs, (0, pad_d))
+
+    q_lo, q_hi = _tile_aabb(qs, jnp.ones(qs.shape[0], bool), q_tile)
+    d_lo, d_hi = _tile_aabb(dbs, dvs, db_tile)
+
+    qs4 = jnp.pad(qs, ((0, 0), (0, 1)))
+    dbs4 = jnp.pad(dbs, ((0, 0), (0, 1)))
+    val = dvs.astype(jnp.float32)[None, :]
+
+    grid = (qs.shape[0] // q_tile, dbs.shape[0] // db_tile)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_sparse_knn_kernel, k=k, db_tile=db_tile,
+                          radius2=float(radius) ** 2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_tile, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((db_tile, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qs.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((qs.shape[0], k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, k), jnp.float32),
+            pltpu.VMEM((q_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_lo, q_hi, d_lo, d_hi, qs4, dbs4, val)
+
+    # unsort queries, map db indices back to caller order
+    if q_perm is not None:
+        inv = jnp.zeros(nq, jnp.int32).at[q_perm].set(jnp.arange(nq, dtype=jnp.int32))
+        out_d = out_d[inv]
+        out_i = out_i[inv]
+    else:
+        out_d = out_d[:nq]
+        out_i = out_i[:nq]
+    if d_perm is not None:
+        out_i = d_perm[out_i].astype(jnp.int32)
+    order = jnp.argsort(out_d, axis=1)
+    out_d = jnp.take_along_axis(out_d, order, axis=1)
+    out_i = jnp.take_along_axis(out_i, order, axis=1)
+    out_d = jnp.where(out_d >= _INF * 0.5, jnp.inf, out_d)
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, 0)
+    return jnp.maximum(out_d, 0.0), out_i
+
+
+def knn(queries, database, db_valid, k: int = 5, tile: int = 4096,
+        radius: float | None = None,
+        q_sorted: bool = False, db_sorted: bool = False):
     """Dispatch: Pallas on TPU, XLA path elsewhere.
 
     tile=4096 measured 44% faster than 2048 on v5e (fewer top-k merge
-    rounds per pair; 512x4096 f32 distance block = 8 MB fits VMEM)."""
+    rounds per pair; 512x4096 f32 distance block = 8 MB fits VMEM).
+
+    `radius`: if given, results are only guaranteed exact for neighbours
+    within that distance (callers gating on d2 < radius^2 see identical
+    results) — unlocks Morton-sorted AABB block skipping on TPU.
+    q_sorted/db_sorted: that side is already spatially coherent (see
+    knn_pallas_sparse) — only consulted on the TPU sparse path."""
     if jax.default_backend() in ("tpu", "axon"):
+        if radius is not None:
+            return knn_pallas_sparse(queries, database, db_valid, k=k,
+                                     radius=radius, q_sorted=q_sorted,
+                                     db_sorted=db_sorted)
         return knn_pallas(queries, database, db_valid, k=k, db_tile=tile)
     return knn_xla.knn(queries, database, db_valid, k=k, tile=min(tile, 2048))
