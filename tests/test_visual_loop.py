@@ -146,6 +146,48 @@ def test_visual_loop_db_detects_revisit(tmp_path):
     assert db2.detect(i_cur) == cand
 
 
+def test_detect_two_tier_gates_and_earliest_candidate():
+    """detectLoop's two-tier top-4 gate (pose_graph.cpp:307-389): best score
+    must pass 0.05, a RUNNER-UP must pass 0.015, and the EARLIEST qualifying
+    keyframe wins — even when it is only the second-best score."""
+    db = vl.VisualLoopDB(vl.VisualLoopConfig(capacity=128))
+    db.n = 60
+    i_q = 56
+
+    def set_hist(i, sim_to_query):
+        # unit vectors with a controlled dot product against the query hist
+        h = np.zeros(brief.N_WORDS, np.float32)
+        h[0] = sim_to_query
+        h[i + 1] = np.sqrt(max(1.0 - sim_to_query**2, 0.0))
+        db.hists = db.hists.at[i].set(jnp.asarray(h))
+
+    q = np.zeros(brief.N_WORDS, np.float32)
+    q[0] = 1.0
+    db.hists = db.hists.at[i_q].set(jnp.asarray(q))
+
+    # best candidate is index 5, but index 2 also passes the 0.015 tier:
+    # the reference returns the EARLIEST (min_index scan)
+    set_hist(5, 0.30)
+    set_hist(2, 0.10)
+    assert db.detect(i_q) == 2
+
+    # runner-up below 0.015 -> no second independent candidate -> reject
+    set_hist(2, 0.005)
+    assert db.detect(i_q) is None
+
+    # best below 0.05 -> reject outright even with close runner-ups
+    set_hist(5, 0.04)
+    set_hist(2, 0.03)
+    assert db.detect(i_q) is None
+
+    # recency exclusion: candidates within the last 50 keyframes are masked
+    set_hist(5, 0.0)
+    set_hist(2, 0.0)
+    set_hist(10, 0.5)  # 10 > 56 - 50
+    set_hist(55, 0.5)
+    assert db.detect(i_q) is None
+
+
 def test_multi_sequence_edges_not_straddling():
     """Sequential edges must not connect nodes of different sessions; a loop
     edge between sessions stitches them (new_sequence capability)."""

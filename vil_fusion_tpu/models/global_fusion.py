@@ -34,6 +34,42 @@ def _node_glue(q_prev_kf, p_prev_kf, q_odom, p_odom, q_graph_prev, p_graph_prev)
 
 
 @jax.jit
+def _submap_icp(qs, ps, clouds, cloud_valid, ks, dup, i, j, yaw0):
+    """Submap assembly + ICP verification in ONE device program
+    (icpCalculation :376-444). `ks` is the fixed-length clamped index span
+    around j; `dup` masks clamp-duplicated entries. The former host loop paid
+    ~25 dispatches for the same assembly."""
+    q_j, p_j = qs[j], ps[j]
+
+    def one(k, d):
+        q_rel, p_rel = lie.pose_between((q_j, p_j), (qs[k], ps[k]))
+        return (lie.qrot(q_rel[None, :], clouds[k]) + p_rel[None, :],
+                cloud_valid[k] & ~d)
+
+    tgt, tgtv = jax.vmap(one)(ks, dup)
+    tgt = tgt.reshape(-1, 3)
+    tgtv = tgtv.reshape(-1)
+
+    # Two initial guesses, keep the better fit: (a) the graph relative pose —
+    # the reference's init (clouds pre-transformed by graph poses, ICP from
+    # identity); (b) same translation but the yaw REPLACED by the SC shift
+    # estimate, which survives large yaw drift where (a) fails. The prior
+    # version multiplied the full SC yaw ONTO the graph pose, double-counting
+    # the relative rotation.
+    q0, p0 = lie.pose_between((q_j, p_j), (qs[i], ps[i]))
+    yaw_q0 = lie.R2ypr(lie.q2R(q0))[0] * (jnp.pi / 180.0)
+    z = jnp.zeros_like(yaw0)
+    q_corr = lie.so3_exp(jnp.stack([z, z, yaw0 - yaw_q0]))
+    q0b = lie.qnormalize(lie.qmul(q_corr, q0))
+
+    qa, pa, fa = icp_mod.icp_point2point(clouds[i], cloud_valid[i], tgt, tgtv, q0, p0)
+    qb, pb, fb = icp_mod.icp_point2point(clouds[i], cloud_valid[i], tgt, tgtv, q0b, p0)
+    pick_a = fa <= fb
+    return (jnp.where(pick_a, qa, qb), jnp.where(pick_a, pa, pb),
+            jnp.minimum(fa, fb))
+
+
+@jax.jit
 def _sc_insert_and_detect(db: sc.ScanContextDB, pts, val):
     """Descriptor build + DB insert + loop query in one device program
     (the host-orchestrated version paid one dispatch per stage)."""
@@ -144,37 +180,18 @@ class GlobalFusion:
 
     def _verify_loop(self, i: int, j: int, yaw0: float) -> bool:
         """ICP current keyframe vs +-submap_half_span submap around j
-        (icpCalculation :376-444); accept on fitness, add robust loop edge."""
+        (icpCalculation :376-444); accept on fitness, add robust loop edge.
+        One fused device dispatch (submap assembly vmapped inside)."""
         cfg = self.cfg
         # fixed-size submap (static shapes): clamped index span around j
-        ks = [min(max(j + d, 0), self.n_kf - 1)
-              for d in range(-cfg.submap_half_span, cfg.submap_half_span + 1)]
-        # assemble submap in keyframe-j frame using current graph estimates
-        q_j = self.graph.q[j]
-        p_j = self.graph.p[j]
-        tgt_list = []
-        tgt_valid = []
-        seen = set()
-        for k in ks:
-            dup = k in seen
-            seen.add(k)
-            q_k = self.graph.q[k]
-            p_k = self.graph.p[k]
-            q_rel, p_rel = lie.pose_between((q_j, p_j), (q_k, p_k))
-            tgt_list.append(lie.qrot(q_rel[None, :], self.clouds[k]) + p_rel[None, :])
-            tgt_valid.append(self.cloud_valid[k] & jnp.asarray(not dup))
-        tgt = jnp.concatenate(tgt_list, axis=0)
-        tgtv = jnp.concatenate(tgt_valid, axis=0)
-
-        # initial guess: relative pose from graph + SC yaw hint
-        q_i = self.graph.q[i]
-        p_i = self.graph.p[i]
-        q0, p0 = lie.pose_between((q_j, p_j), (q_i, p_i))
-        q_yaw = lie.so3_exp(jnp.asarray([0.0, 0.0, yaw0], self.dtype))
-        q0 = lie.qnormalize(lie.qmul(q0, q_yaw))
-
-        q_fit, p_fit, fitness = icp_mod.icp_point2point(
-            self.clouds[i], self.cloud_valid[i], tgt, tgtv, q0, p0)
+        ks = np.clip(np.arange(j - cfg.submap_half_span,
+                               j + cfg.submap_half_span + 1), 0, self.n_kf - 1)
+        dup = np.zeros(len(ks), bool)
+        dup[1:] = ks[1:] == ks[:-1]  # clamp duplicates (ks is nondecreasing)
+        q_fit, p_fit, fitness = _submap_icp(
+            self.graph.q, self.graph.p, self.clouds, self.cloud_valid,
+            jnp.asarray(ks, jnp.int32), jnp.asarray(dup),
+            jnp.int32(i), jnp.int32(j), jnp.asarray(yaw0, self.dtype))
         if not np.isfinite(float(fitness)) or float(fitness) > cfg.icp_fitness_max:
             return False
         self.graph = pg.add_loop(self.graph, jnp.int32(j), jnp.int32(i), q_fit, p_fit)

@@ -41,7 +41,10 @@ class VisualLoopConfig(NamedTuple):
     capacity: int = 2048
     win_cap: int = 128  # window-point descriptors per keyframe
     extra_cap: int = 256  # extra corners (reference: 500)
-    score_min: float = 0.015  # detectLoop gates (0.05 / 0.015)
+    score_best: float = 0.05  # detectLoop tier-1 gate on the top score
+    score_min: float = 0.015  # detectLoop tier-2 gate on runner-up scores
+    top_k: int = 4  # BoW query width (db.query(..., 4, ...))
+    keyframe_gap: float = 1.0  # m between loop keyframes (SKIP_DIS analog)
     pnp_ransac_hyp: int = 64
     pnp_inlier_px: float = 3.0 / 460.0
 
@@ -131,17 +134,24 @@ class VisualLoopDB:
 
     # ------------------------------------------------------------------
     def detect(self, i_query: int):
-        """BoW query with recency exclusion + relative score gate
-        (detectLoop :307-389). Returns candidate index or None."""
-        if self.n <= RECENT_EXCLUDE:
+        """Two-tier top-k BoW query with recency exclusion (detectLoop
+        :307-389): the best candidate must score > 0.05, at least one
+        RUNNER-UP must score > 0.015, and among all candidates over 0.015 the
+        EARLIEST keyframe is returned (the reference's min_index scan).
+        Returns candidate index or None."""
+        cfg = self.cfg
+        if i_query <= RECENT_EXCLUDE:
             return None
         scores = np.array(brief.bow_scores(self.hists[i_query], self.hists))
-        scores[max(0, self.n - RECENT_EXCLUDE):] = -1.0
-        scores[i_query] = -1.0
-        best = int(np.argmax(scores))
-        if scores[best] < self.cfg.score_min:
+        scores[max(0, i_query - RECENT_EXCLUDE):] = -1.0  # db.query max_id
+        top = np.argsort(scores)[::-1][: cfg.top_k]
+        top_s = scores[top]
+        if top_s[0] < cfg.score_best:
             return None
-        return best
+        ok = top_s > cfg.score_min
+        if not ok[1:].any():  # need a second independent candidate
+            return None
+        return int(top[ok].min())
 
     def find_connection(self, i_cur: int, i_old: int):
         """Geometric verification (findConnection keyframe.cpp:259-519):
@@ -169,9 +179,11 @@ class VisualLoopDB:
         q_b0 = jnp.asarray(self.q[i_old], jnp.float32)
         p_b0 = jnp.asarray(self.p[i_old], jnp.float32)
         q0, p0 = lie.pose_compose((q_b0, p_b0), (qic, tic))
+        self._ransac_calls = getattr(self, "_ransac_calls", 0) + 1
         q_pnp_c, p_pnp_c, inl = pnp_ransac(
             jnp.asarray(pts3d), jnp.asarray(obs_old), jnp.asarray(ok),
-            q0, p0, n_hyp=cfg.pnp_ransac_hyp, inlier_tol=cfg.pnp_inlier_px)
+            q0, p0, n_hyp=cfg.pnp_ransac_hyp, inlier_tol=cfg.pnp_inlier_px,
+            key=jax.random.PRNGKey(self._ransac_calls))
         if int(inl.sum()) < MIN_LOOP_NUM:
             return None
         # back to a body pose
@@ -242,11 +254,15 @@ class VisualLoopDB:
 
 @functools.partial(jax.jit, static_argnames=("n_hyp",))
 def pnp_ransac(pts3d, obs, valid, q0, p0, n_hyp: int = 64,
-               inlier_tol: float = 3.0 / 460.0):
+               inlier_tol: float = 3.0 / 460.0, key=None):
     """Batched PnP RANSAC (PnPRANSAC keyframe.cpp:200-256): each hypothesis
     refines from the prior pose using a random 6-point subset (fixed GN
-    iterations), then the best-by-inliers pose is re-refined on all inliers."""
-    key = jax.random.PRNGKey(0)
+    iterations), then the best-by-inliers pose is re-refined on all inliers.
+
+    `key` must vary per call: with a fixed key a degenerate hypothesis set
+    repeats forever instead of washing out across retries."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
     N = pts3d.shape[0]
     dtype = pts3d.dtype
     u = jax.random.uniform(key, (n_hyp, N))

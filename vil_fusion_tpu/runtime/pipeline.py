@@ -393,7 +393,8 @@ class VILFusionPipeline:
     def _visual_loop_step(self, img, p_est, q_est):
         """Keyframe insert (2 m gate) + detection + verification + 4-DoF
         drift update (pose_graph node process() + optimize4DoF rebuild)."""
-        if self._last_kf_p is not None and np.linalg.norm(p_est - self._last_kf_p) < 1.0:
+        gap = self.visual_loop.cfg.keyframe_gap  # SKIP_DIS analog, configurable
+        if self._last_kf_p is not None and np.linalg.norm(p_est - self._last_kf_p) < gap:
             return
         est = self.estimator
         # process_frame already slid the window: the newest frame's
