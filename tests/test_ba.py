@@ -220,3 +220,25 @@ def test_td_estimation():
     prior = ba.empty_prior(state_gt)
     state1, _, _ = ba.optimize(state_gt, feats, pre, lidar, prior, cfg)
     assert abs(float(state1.td) - td_true) < 0.006, float(state1.td)
+
+
+def test_rolling_shutter_row_terms():
+    """Nonzero TR: per-observation readout shifts (tshift channel, the
+    reference's TR/ROW row terms, projection_td_factor.cpp:51-52) must be
+    compensated exactly; ignoring them biases the cost at ground truth."""
+    state_gt, feats, pre, lidar, _ = make_vio_problem()
+    rng = np.random.default_rng(5)
+    vel = rng.uniform(-0.5, 0.5, feats.vel.shape).astype(np.float32)
+    # rows spread over the frame at TR = 30 ms -> shifts within +-15 ms
+    tsh = rng.uniform(-0.015, 0.015, feats.tshift.shape).astype(np.float32)
+    feats_rs = feats._replace(
+        vel=jnp.asarray(vel),
+        obs=feats.obs + jnp.asarray(tsh)[:, :, None] * jnp.asarray(vel),
+        tshift=jnp.asarray(tsh))
+    cfg = ba.BAConfig(max_iters=8)
+    prior = ba.empty_prior(state_gt)
+    c_with = float(ba.total_cost(state_gt, feats_rs, pre, lidar, prior, cfg))
+    c_without = float(ba.total_cost(
+        state_gt, feats_rs._replace(tshift=jnp.zeros_like(feats_rs.tshift)),
+        pre, lidar, prior, cfg))
+    assert c_with < 0.02 * c_without, (c_with, c_without)

@@ -88,6 +88,79 @@ def test_euroc_reader(euroc_fixture):
     np.testing.assert_allclose(imu_evs[0][3], [0.01, 0.02, 0.03])
 
 
+@pytest.fixture
+def advio_fixture(tmp_path):
+    """Minimal ADVIO-like tree: separate acc/gyro clocks, extracted frames,
+    one mask, ground-truth pose.csv."""
+    rng = np.random.default_rng(1)
+    ip = tmp_path / "advio-05" / "iphone"
+    (ip / "frames").mkdir(parents=True)
+    (ip / "masks").mkdir()
+    (tmp_path / "advio-05" / "ground-truth").mkdir()
+    t0 = 100.0
+    # gyro at 100 Hz, accelerometer at 125 Hz (different clocks)
+    with open(ip / "gyro.csv", "w") as f:
+        for i in range(20):
+            f.write(f"{t0 + i * 0.01},{0.01 * i},0.02,0.03\n")
+    with open(ip / "accelerometer.csv", "w") as f:
+        for i in range(25):
+            f.write(f"{t0 + i * 0.008},{0.1},{0.2},{9.8 + 0.01 * i}\n")
+    from PIL import Image
+
+    with open(ip / "frames.csv", "w") as f:
+        for i in range(3):
+            f.write(f"{t0 + 0.02 + i * 0.05},{i}\n")
+            arr = (rng.random((48, 64)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(ip / "frames" / f"{i:05d}.png")
+    mask = np.zeros((48, 64), np.uint8)
+    mask[10:20, 10:20] = 255
+    Image.fromarray(mask).save(ip / "masks" / "00001.png")
+    with open(tmp_path / "advio-05" / "ground-truth" / "pose.csv", "w") as f:
+        for i in range(5):
+            f.write(f"{t0 + i * 0.1},{0.2 * i},0,0,1,0,0,0\n")
+    return str(tmp_path / "advio-05")
+
+
+def test_advio_reader(advio_fixture):
+    ds = datasets.ADVIO(advio_fixture)
+    evs = list(ds.events())
+    kinds = [e[0] for e in evs]
+    assert kinds.count("imu") == 20
+    assert kinds.count("image") == 3
+    ts = [e[1] for e in evs]
+    assert ts == sorted(ts)
+    # accelerometer interpolated onto gyro clock: t = 100.01 -> az 9.8+0.0125
+    imu_evs = [e for e in evs if e[0] == "imu"]
+    np.testing.assert_allclose(imu_evs[1][2][2], 9.8 + 0.01 * (0.01 / 0.008),
+                               atol=1e-6)
+    np.testing.assert_allclose(imu_evs[1][3], [0.01, 0.02, 0.03])
+    # the second frame carries its mask
+    img_evs = [e for e in evs if e[0] == "image"]
+    assert len(img_evs[1]) == 4 and img_evs[1][3][15, 15]
+    assert len(img_evs[0]) == 3  # no mask extracted for frame 0
+    t_gt, p_gt, q_gt = ds.ground_truth()
+    np.testing.assert_allclose(p_gt[:, 0], 0.2 * np.arange(5))
+
+
+def test_all_shipped_rigs_load():
+    """Every rig the reference ships (config/{kitti,euroc,daheng,iphone,
+    mynteye}) must load (C16 parity), with per-rig key facts intact."""
+    from vil_fusion_tpu.runtime.config import load_rig
+
+    rigs = {name: load_rig(f"configs/{name}.yaml")
+            for name in ("kitti", "euroc", "daheng", "iphone", "mynteye")}
+    assert rigs["kitti"].n_scan == 64 and rigs["kitti"].use_lidar
+    assert rigs["daheng"].n_scan == 32 and rigs["daheng"].use_lidar
+    assert not rigs["iphone"].use_lidar
+    assert rigs["iphone"].rolling_shutter and rigs["iphone"].tr > 0
+    assert rigs["iphone"].estimate_td
+    assert not rigs["mynteye"].use_lidar
+    assert rigs["mynteye"].td == 0.013
+    for r in rigs.values():
+        # extrinsic quaternions normalized
+        np.testing.assert_allclose(np.linalg.norm(r.q_ic), 1.0, atol=1e-5)
+
+
 def test_run_dataset_tool_on_fixture(kitti_odom_fixture, tmp_path, monkeypatch):
     """End-to-end CLI: fixture KITTI sequence through the lidar pipeline."""
     import subprocess, sys, os, json

@@ -93,6 +93,66 @@ def test_estimator_tracks_truth_with_lidar():
 
 
 @pytest.mark.slow
+def test_gauge_transform_exact_for_relocalization_feedback():
+    """apply_drift (relo feedback re-anchoring) must be an exact gauge
+    transform: the BA objective is invariant, and a drifted clone fed the
+    SAME (frame-invariant) inputs stays related by exactly (R_d, t_d)."""
+    import copy
+
+    _, est = run_sequence(n_frames=14, with_lidar=True)
+    est2 = copy.copy(est)
+    yaw = np.deg2rad(25.0)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R_d = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t_d = np.array([3.0, -2.0, 0.5], np.float32)
+
+    cost_before = float(ba.total_cost(est.window, est.feats, est.pre,
+                                      est.lidar, est.prior, est.cfg.ba))
+    est2.apply_drift(R_d, t_d)
+    cost_after = float(ba.total_cost(est2.window, est2.feats, est2.pre,
+                                     est2.lidar, est2.prior, est2.cfg.ba))
+    np.testing.assert_allclose(cost_after, cost_before,
+                               rtol=1e-4, atol=1e-3)
+
+    # continue BOTH estimators on identical inputs (IMU samples, normalized
+    # camera obs and lidar relative poses are all invariant to a world-frame
+    # yaw+t); after 4 more full BA/marginalization/slide cycles the states
+    # must still differ by exactly the applied transform.
+    traj = sim.Trajectory()
+    world = sim.LandmarkWorld(n=400, seed=0)
+    t0 = 1.0
+    prev_ids: set = set()
+    for i in range(14, 18):
+        t = t0 + i * FRAME_DT
+        ts_i, acc, gyr = sim.simulate_imu(traj, t - FRAME_DT, t, IMU_RATE)
+        dts = np.diff(ts_i)
+        ids, xy, z = sim.project_landmarks(
+            world, traj.rotation(t), traj.position(t), R_bc=R_BC)
+        sel = select_tracked(ids.tolist(), prev_ids)
+        ids, xy, z = ids[sel], xy[sel], z[sel]
+        prev_ids = set(ids.tolist())
+        q_prev, p_prev = traj.pose(t - FRAME_DT)
+        q_cur, p_cur = traj.pose(t)
+        qr, pr = lie.pose_between(
+            (jnp.asarray(q_prev, jnp.float32), jnp.asarray(p_prev, jnp.float32)),
+            (jnp.asarray(q_cur, jnp.float32), jnp.asarray(p_cur, jnp.float32)))
+        args = dict(obs_depth=np.where(np.arange(len(ids)) % 2 == 0, z, 0.0),
+                    lidar_q_rel=np.asarray(qr), lidar_p_rel=np.asarray(pr))
+        p1, q1, v1 = est.process_frame(acc, gyr, dts, ids, xy, **args)
+        p2, q2, v2 = est2.process_frame(acc, gyr, dts, ids, xy, **args)
+
+    np.testing.assert_allclose(p2, R_d @ p1 + t_d, atol=2e-2)
+    np.testing.assert_allclose(v2, R_d @ v1, atol=2e-2)
+    q_expect = np.asarray(lie.qmul(
+        jnp.asarray(lie.R2q(jnp.asarray(R_d, jnp.float32))),
+        jnp.asarray(q1, jnp.float32)))
+    # quaternion sign ambiguity
+    dot = abs(float(np.dot(q_expect, q2)))
+    assert dot > 1.0 - 1e-4, (q_expect, q2)
+    assert not est2.failed
+
+
+@pytest.mark.slow
 def test_estimator_vio_only():
     errs, est = run_sequence(n_frames=20, with_lidar=False, lidar_depth_frac=0.0)
     assert errs[10:].max() < 0.20, errs

@@ -130,9 +130,10 @@ def test_visual_loop_db_detects_revisit(tmp_path):
     i_cur = db.add_keyframe(img, q, p, pts3d, px, pv, CAM)
     cand = db.detect(i_cur)
     assert cand is not None and cand <= 4, cand
-    conn = db.find_connection(i_cur, cand)
-    assert conn is not None
-    q_rel, p_rel = conn
+    hit = db.detect_and_verify(i_cur)
+    assert hit is not None
+    cand, q_rel, p_rel = hit
+    assert cand <= 4
     assert np.linalg.norm(p_rel) < 1.0  # revisit at (nearly) the same pose
     db.close_loop(i_cur, cand, q_rel, p_rel)
 
@@ -143,7 +144,7 @@ def test_visual_loop_db_detects_revisit(tmp_path):
                           qic=sim.R_to_q(R_BC), tic=np.zeros(3))
     db2.load(path)
     assert db2.n == db.n
-    assert db2.detect(i_cur) == cand
+    assert db2.detect_candidates(i_cur) == db.detect_candidates(i_cur)
 
 
 def test_detect_two_tier_gates_and_earliest_candidate():

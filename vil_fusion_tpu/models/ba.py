@@ -107,14 +107,16 @@ def _imu_blocks(state: WindowState, pre: StackedPreint, g, dtype):
 # Projection (td) factors over the (F, K) observation grid
 # ---------------------------------------------------------------------------
 
-def _proj_res_delta(delta, obs_i, obs_j, vel_i, vel_j, inv_depth, si, sj, ext, depth_free):
+def _proj_res_delta(delta, obs_i, obs_j, vel_i, vel_j, tsh_i, tsh_j,
+                    inv_depth, si, sj, ext, depth_free):
     qi, pi = lie.pose_retract((si["q"], si["p"]), delta[0:6])
     qj, pj = lie.pose_retract((sj["q"], sj["p"]), delta[6:12])
     qic, tic = lie.pose_retract((ext["qic"], ext["tic"]), delta[12:18])
     td = ext["td"] + delta[18]
     lam = inv_depth + delta[19] * depth_free
     return factors.projection_td_residual(
-        obs_i, obs_j, vel_i, vel_j, lam, pi, qi, pj, qj, tic, qic, td)
+        obs_i, obs_j, vel_i, vel_j, lam, pi, qi, pj, qj, tic, qic, td,
+        tsh_i, tsh_j)
 
 
 def _proj_blocks(state: WindowState, feats: FeatureStore, cfg: BAConfig, dtype,
@@ -141,6 +143,7 @@ def _proj_blocks(state: WindowState, feats: FeatureStore, cfg: BAConfig, dtype,
         si = _gather_frame(state, s)
         sj = _gather_frame(state, j)
         args = (feats.obs[f, s], feats.obs[f, j], feats.vel[f, s], feats.vel[f, j],
+                feats.tshift[f, s], feats.tshift[f, j],
                 feats.inv_depth[f], si, sj, ext, dfree)
         z = jnp.zeros(20, dtype)
         r = _proj_res_delta(z, *args)

@@ -26,8 +26,15 @@ import numpy as np
 from vil_fusion_tpu.ops import image as im
 
 N_BITS = 256
-N_WORDS_LOG2 = 14
-N_WORDS = 1 << N_WORDS_LOG2
+# multi-table bit-sampling LSH: T tables of B raw descriptor bits each.
+# A word survives a descriptor-noise bit flip with prob (1-p)^B per table;
+# with several tables the same-place histogram overlap stays high — the
+# robustness role DBoW2's hierarchical k-means vocabulary plays. (A parity-
+# of-16-bits hash — the first design — flips the whole word on ANY single
+# bit flip and cannot re-detect a place under viewpoint noise.)
+N_TABLES = 4
+BITS_PER_TABLE = 12
+N_WORDS = N_TABLES << BITS_PER_TABLE  # 16384 histogram bins
 _PATTERN_SEED = 7
 
 
@@ -97,10 +104,11 @@ def match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 80):
 # ---------------------------------------------------------------------------
 
 def _word_projection():
-    """Random bit-selection defining N_WORDS_LOG2 hyperplanes over descriptor
-    bits: word = concat of parity of selected bit-groups."""
+    """Per-table random bit positions: table t's word = the B raw descriptor
+    bits at these positions (bit-sampling LSH)."""
     rng = np.random.default_rng(11)
-    return rng.integers(0, N_BITS, size=(N_WORDS_LOG2, 16)).astype(np.int32)
+    return rng.choice(N_BITS, size=(N_TABLES, BITS_PER_TABLE),
+                      replace=False).astype(np.int32)
 
 
 _WORD_SEL_NP = _word_projection()
@@ -112,22 +120,26 @@ def _word_sel():
 
 @jax.jit
 def words_of(desc: jnp.ndarray):
-    """(N, 8) packed descriptors -> (N,) word ids in [0, N_WORDS)."""
+    """(N, 8) packed descriptors -> (N, T) word ids, table t's ids offset
+    into [t << B, (t+1) << B) so one histogram holds all tables."""
     lanes = desc.astype(jnp.uint32)  # (N, 8)
     bit_idx = jnp.arange(N_BITS)
     bits = (lanes[:, bit_idx // 32] >> (bit_idx % 32).astype(jnp.uint32)) & 1  # (N, 256)
-    sel = _word_sel()  # (14, 16)
-    group = bits[:, sel]  # (N, 14, 16)
-    parity = jnp.sum(group, axis=-1) & 1  # (N, 14)
-    weights = (1 << jnp.arange(N_WORDS_LOG2)).astype(jnp.uint32)
-    return jnp.sum(parity * weights[None, :], axis=-1).astype(jnp.int32)
+    sel = _word_sel()  # (T, B)
+    group = bits[:, sel]  # (N, T, B)
+    weights = (1 << jnp.arange(BITS_PER_TABLE)).astype(jnp.uint32)
+    w = jnp.sum(group * weights[None, None, :], axis=-1)  # (N, T)
+    offs = (jnp.arange(N_TABLES, dtype=jnp.uint32) << BITS_PER_TABLE)
+    return (w + offs[None, :]).astype(jnp.int32)
 
 
 @jax.jit
 def word_histogram(words: jnp.ndarray, valid: jnp.ndarray):
-    """(N,) word ids -> (N_WORDS,) L2-normalized histogram."""
-    h = jnp.zeros((N_WORDS,), jnp.float32).at[
-        jnp.where(valid, words, N_WORDS - 1)].add(valid.astype(jnp.float32))
+    """(N, T) word ids -> (N_WORDS,) L2-normalized histogram over all tables."""
+    wflat = jnp.where(valid[:, None], words, N_WORDS - 1).reshape(-1)
+    h = jnp.zeros((N_WORDS,), jnp.float32).at[wflat].add(
+        jnp.broadcast_to(valid[:, None], words.shape).reshape(-1)
+        .astype(jnp.float32))
     return h / jnp.maximum(jnp.linalg.norm(h), 1e-6)
 
 

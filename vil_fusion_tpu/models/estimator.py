@@ -66,6 +66,7 @@ def ingest_features(
     vel: jnp.ndarray,  # (M, 2)
     depth: jnp.ndarray,  # (M,) lidar depth, <= 0 if none
     fc: jnp.ndarray,  # scalar int32 current frame slot
+    tshift=None,  # (M,) rolling-shutter/td-capture shift (seconds) or None
 ) -> FeatureStore:
     """Associate incoming per-frame observations with feature slots by id;
     allocate free slots for new tracks; inject LiDAR depth for new tracks
@@ -94,6 +95,9 @@ def ingest_features(
     obs = pad(feats.obs).at[slot, fc].set(xy)[:F]
     ov = pad(feats.obs_valid).at[slot, fc].set(present)[:F]
     velg = pad(feats.vel).at[slot, fc].set(vel)[:F]
+    if tshift is None:
+        tshift = jnp.zeros_like(xy[:, 0])
+    tshg = pad(feats.tshift).at[slot, fc].set(tshift)[:F]
 
     active = pad(feats.active).at[slot].set(present)[:F]
     feat_id = pad(feats.feat_id).at[slot].set(jnp.where(present, ids, -1))[:F]
@@ -108,8 +112,8 @@ def ingest_features(
     lidar_flag = pad(feats.lidar_flag).at[slot].set(
         jnp.where(has_match, pad(feats.lidar_flag)[slot], depth > 0))[:F]
     return FeatureStore(active=active, start=start, obs=obs, obs_valid=ov,
-                        vel=velg, inv_depth=inv_depth, lidar_flag=lidar_flag,
-                        feat_id=feat_id)
+                        vel=velg, tshift=tshg, inv_depth=inv_depth,
+                        lidar_flag=lidar_flag, feat_id=feat_id)
 
 
 @jax.jit
@@ -193,6 +197,42 @@ def landmarks_world(state: WindowState, feats: FeatureStore, slot: jnp.ndarray):
 
 
 @jax.jit
+def gauge_transform(window: WindowState, prior, R_d, t_d):
+    """Re-anchor the whole window by a yaw+translation transform — the VIO
+    gauge freedom (relocalization feedback, estimator.cpp setReloFrame
+    :1188-1206 + relo factors :799-836 + drift_correct in double2vector
+    :617-638; here the correction is applied to the window itself, so the
+    VIO output re-converges after a loop instead of drifting forever).
+
+    Exact for every factor: IMU preintegration, lidar relative constraints
+    and camera-anchored inverse depths are invariant under a global yaw+t;
+    the marginalization prior is kept bit-equivalent by transforming its
+    linearization point and rotating the position/velocity Jacobian columns
+    (local-orientation and bias columns are invariant because the pose
+    parameterization uses right perturbations: q' = q_d q gives unchanged
+    q_lin'^{-1} q'). yaw-only rotation keeps gravity fixed."""
+    dtype = window.p.dtype
+    R_d = jnp.asarray(R_d, dtype)
+    t_d = jnp.asarray(t_d, dtype)
+    q_d = lie.R2q(R_d)
+
+    def move(st: WindowState) -> WindowState:
+        return st._replace(
+            p=st.p @ R_d.T + t_d[None, :],
+            q=lie.qnormalize(lie.qmul(q_d[None, :], st.q)),
+            v=st.v @ R_d.T)
+
+    window = move(window)
+    # rotate prior Jacobian columns for the p and v blocks of every frame
+    G = jnp.eye(D, dtype=dtype)
+    for i in range(K):
+        G = G.at[15 * i:15 * i + 3, 15 * i:15 * i + 3].set(R_d.T)
+        G = G.at[15 * i + 6:15 * i + 9, 15 * i + 6:15 * i + 9].set(R_d.T)
+    prior = prior._replace(J=prior.J @ G, lin=move(prior.lin))
+    return window, prior
+
+
+@jax.jit
 def failure_detection(state: WindowState, state_prev_p, state_prev_q) -> jnp.ndarray:
     """Divergence detector (estimator.cpp failureDetection :640-686):
     bias norms, translation/z jumps, rotation jump."""
@@ -218,7 +258,7 @@ def fused_full_step(
     lidar: LidarConstraints,
     prior,
     acc_b, gyr_b, dt_b, n_imu,  # padded IMU segment buffers + count
-    ids_b, xy_b, vel_b, dep_b,  # padded feature observations
+    ids_b, xy_b, vel_b, dep_b, tsh_b,  # padded feature observations
     lidar_q_rel, lidar_p_rel, lidar_valid,
     run_ba,  # bool scalar: initialized (BA + failure detection active)
     cfg: EstimatorConfig,
@@ -262,7 +302,8 @@ def fused_full_step(
         valid=lidar.valid.at[fc].set(lidar_valid))
 
     # --- features + keyframe decision ---
-    feats = ingest_features(feats, ids_b, xy_b, vel_b, dep_b, jnp.int32(fc))
+    feats = ingest_features(feats, ids_b, xy_b, vel_b, dep_b, jnp.int32(fc),
+                            tsh_b)
     is_key = keyframe_decision(feats, jnp.int32(fc), cfg.min_parallax,
                                cfg.min_track_for_nonkey)
 
@@ -348,6 +389,14 @@ class VILEstimator:
         )
         self.initialized = True
 
+    def apply_drift(self, R_d, t_d):
+        """Relocalization feedback (setReloFrame/relo-factor pathway): move
+        the window + marg prior into the loop-corrected frame. Safe between
+        frames; a pure gauge transform (see gauge_transform)."""
+        self.window, self.prior = gauge_transform(
+            self.window, self.prior, jnp.asarray(R_d, self.dtype),
+            jnp.asarray(t_d, self.dtype))
+
     def set_extrinsics(self, qic, tic, td=0.0):
         self.window = self.window._replace(
             qic=jnp.asarray(qic, self.dtype), tic=jnp.asarray(tic, self.dtype),
@@ -356,7 +405,7 @@ class VILEstimator:
     # -- per-frame processing ------------------------------------------------
     def process_frame(self, imu_acc, imu_gyr, imu_dt, obs_ids, obs_xy,
                       obs_vel=None, obs_depth=None, lidar_q_rel=None,
-                      lidar_p_rel=None):
+                      lidar_p_rel=None, obs_tshift=None):
         """One synchronized frame bundle. Returns (p, q, v) of the newest frame.
 
         imu_acc/imu_gyr: (n, 3) samples since previous frame (empty for first).
@@ -372,6 +421,7 @@ class VILEstimator:
         xy_b = np.zeros((M, 2), np.float32)
         vel_b = np.zeros((M, 2), np.float32)
         dep_b = np.zeros((M,), np.float32)
+        tsh_b = np.zeros((M,), np.float32)
         m = min(len(obs_ids), M)
         ids_b[:m] = obs_ids[:m]
         xy_b[:m] = obs_xy[:m]
@@ -379,6 +429,8 @@ class VILEstimator:
             vel_b[:m] = obs_vel[:m]
         if obs_depth is not None:
             dep_b[:m] = obs_depth[:m]
+        if obs_tshift is not None:
+            tsh_b[:m] = obs_tshift[:m]
         acc_b, gyr_b, dt_b, n_imu = self._pack_imu(imu_acc, imu_gyr, imu_dt)
         has_lidar = lidar_q_rel is not None and fc > 0
         lqr = np.asarray(lidar_q_rel if has_lidar else [1.0, 0, 0, 0], np.float32)
@@ -391,7 +443,7 @@ class VILEstimator:
                 self.window, self.feats, self.pre, self.lidar, self.prior,
                 jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
                 jnp.int32(n_imu), jnp.asarray(ids_b), jnp.asarray(xy_b),
-                jnp.asarray(vel_b), jnp.asarray(dep_b),
+                jnp.asarray(vel_b), jnp.asarray(dep_b), jnp.asarray(tsh_b),
                 jnp.asarray(lqr), jnp.asarray(lpr), jnp.asarray(bool(has_lidar)),
                 jnp.asarray(True), cfg)
             host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
@@ -420,7 +472,8 @@ class VILEstimator:
                 valid=self.lidar.valid.at[fc].set(True))
         self.feats = ingest_features(
             self.feats, jnp.asarray(ids_b), jnp.asarray(xy_b),
-            jnp.asarray(vel_b), jnp.asarray(dep_b), jnp.int32(fc))
+            jnp.asarray(vel_b), jnp.asarray(dep_b), jnp.int32(fc),
+            jnp.asarray(tsh_b))
 
         if self.frame_count < K - 1:
             self.frame_count += 1
@@ -456,7 +509,7 @@ class VILEstimator:
 
     def process_frame_device(self, acc_b, gyr_b, dt_b, n_imu,
                              ids, xy, vel, dep,
-                             lidar_q_rel=None, lidar_p_rel=None):
+                             lidar_q_rel=None, lidar_p_rel=None, tsh=None):
         """Device-to-device fast path for the steady state: all inputs are
         already fixed-capacity device arrays (tracker outputs flow straight
         into the fused step — no host round trip). Arrays must have
@@ -470,14 +523,17 @@ class VILEstimator:
                 np.asarray(dt_b), np.asarray(ids)[val], np.asarray(xy)[val],
                 obs_vel=np.asarray(vel)[val], obs_depth=np.asarray(dep)[val],
                 lidar_q_rel=None if lidar_q_rel is None else np.asarray(lidar_q_rel),
-                lidar_p_rel=None if lidar_p_rel is None else np.asarray(lidar_p_rel))
+                lidar_p_rel=None if lidar_p_rel is None else np.asarray(lidar_p_rel),
+                obs_tshift=None if tsh is None else np.asarray(tsh)[val])
         has_lidar = lidar_q_rel is not None
         lqr = lidar_q_rel if has_lidar else jnp.asarray([1.0, 0, 0, 0], self.dtype)
         lpr = lidar_p_rel if has_lidar else jnp.zeros(3, self.dtype)
+        if tsh is None:
+            tsh = jnp.zeros_like(dep)
         (self.window, self.feats, self.pre, self.lidar, self.prior,
          out) = fused_full_step(
             self.window, self.feats, self.pre, self.lidar, self.prior,
-            acc_b, gyr_b, dt_b, jnp.int32(n_imu), ids, xy, vel, dep,
+            acc_b, gyr_b, dt_b, jnp.int32(n_imu), ids, xy, vel, dep, tsh,
             lqr, lpr, jnp.asarray(bool(has_lidar)), jnp.asarray(True), self.cfg)
         host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
                                out["failed"]))

@@ -48,15 +48,18 @@ def imu_residual(pre_row, p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, ba_j, bg_j, 
 def projection_td_residual(
     xy_i, xy_j, vel_i, vel_j, inv_depth,
     p_i, q_i, p_j, q_j, tic, qic, td,
+    tshift_i=0.0, tshift_j=0.0,
 ):
-    """2-dim reprojection residual with td compensation
-    (projection_td_factor.cpp:51-120 semantics, row/rolling-shutter terms
-    folded into the velocity model).
+    """2-dim reprojection residual with td + rolling-shutter compensation
+    (projection_td_factor.cpp:51-52: pts_td = pts - (td - td_i +
+    TR/ROW * row_i) * velocity). `tshift` carries the per-observation
+    constant part (-td_at_capture + TR * row_norm); zero for global-shutter
+    rigs with constant td.
 
     Observation i is the anchor (start) frame holding the inverse depth.
     """
-    xy_i_td = xy_i - td * vel_i
-    xy_j_td = xy_j - td * vel_j
+    xy_i_td = xy_i - (td + tshift_i) * vel_i
+    xy_j_td = xy_j - (td + tshift_j) * vel_j
     pts_i = jnp.concatenate([xy_i_td, jnp.ones_like(xy_i_td[..., :1])], axis=-1)
     depth = 1.0 / jnp.maximum(inv_depth, 1e-4)
     pts_cam_i = pts_i * depth

@@ -215,13 +215,16 @@ def slide_old(
     ov_new = jnp.concatenate([feats.obs_valid[:, 1:],
                               jnp.zeros_like(feats.obs_valid[:, :1])], axis=1)
     vel_new = jnp.concatenate([feats.vel[:, 1:], jnp.zeros_like(feats.vel[:, :1])], axis=1)
+    tsh_new = jnp.concatenate([feats.tshift[:, 1:],
+                               jnp.zeros_like(feats.tshift[:, :1])], axis=1)
     start_new = jnp.maximum(feats.start - 1, 0)
     active_new = feats.active & jnp.any(ov_new, axis=1)
     feat_id_new = jnp.where(active_new, feats.feat_id, -1)
 
     new_feats = FeatureStore(
         active=active_new, start=start_new, obs=obs_new, obs_valid=ov_new,
-        vel=vel_new, inv_depth=jnp.where(active_new, inv_depth_new, -1.0),
+        vel=vel_new, tshift=tsh_new,
+        inv_depth=jnp.where(active_new, inv_depth_new, -1.0),
         lidar_flag=jnp.where(active_new, lidar_flag_new, False),
         feat_id=feat_id_new)
     return new_state, new_feats, new_pre, new_lidar
@@ -340,10 +343,12 @@ def slide_new(
     ov_new = feats.obs_valid.at[:, i].set(feats.obs_valid[:, j])
     ov_new = ov_new.at[:, j].set(False)
     vel_new = feats.vel.at[:, i].set(feats.vel[:, j]).at[:, j].set(0.0)
+    tsh_new = feats.tshift.at[:, i].set(feats.tshift[:, j]).at[:, j].set(0.0)
     start_new = jnp.where(feats.start == j, i, feats.start)
     active_new = feats.active & jnp.any(ov_new, axis=1)
     new_feats = feats._replace(
-        obs=obs_new, obs_valid=ov_new, vel=vel_new, start=start_new,
+        obs=obs_new, obs_valid=ov_new, vel=vel_new, tshift=tsh_new,
+        start=start_new,
         active=active_new, feat_id=jnp.where(active_new, feats.feat_id, -1),
         inv_depth=jnp.where(active_new, feats.inv_depth, -1.0),
         lidar_flag=jnp.where(active_new, feats.lidar_flag, False))

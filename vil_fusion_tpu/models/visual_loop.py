@@ -69,6 +69,11 @@ class VisualLoopDB:
         self.extra_valid = np.zeros((C, cfg.extra_cap), bool)
         self.q = np.zeros((C, 4), np.float32)
         self.p = np.zeros((C, 3), np.float32)
+        # immutable insert-time (VIO) copies: sync_from_graph recomputes the
+        # corrected q/p/win_pts3d from these, so repeated loop corrections
+        # never compound (the graph likewise keeps vio_p/vio_yaw immutable)
+        self.vio_q = np.zeros((C, 4), np.float32)
+        self.vio_pts3d = np.zeros((C, cfg.win_cap, 3), np.float32)
         self.graph = pg4.init_graph(C)
         self.n = 0
 
@@ -118,6 +123,8 @@ class VisualLoopDB:
 
         self.q[i] = np.asarray(q_wb)
         self.p[i] = np.asarray(p_wb)
+        self.vio_q[i] = np.asarray(q_wb)
+        self.vio_pts3d[i] = self.win_pts3d[i]
         ypr = np.asarray(lie.R2ypr(lie.q2R(jnp.asarray(q_wb, jnp.float32)))) * np.pi / 180.0
         self.graph = pg4.add_node(self.graph, jnp.asarray(p_wb, jnp.float32),
                                   jnp.float32(ypr[0]), jnp.float32(ypr[1]),
@@ -133,25 +140,42 @@ class VisualLoopDB:
         return (ray[:, :2] / z[:, None]).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def detect(self, i_query: int):
+    def detect_candidates(self, i_query: int):
         """Two-tier top-k BoW query with recency exclusion (detectLoop
-        :307-389): the best candidate must score > 0.05, at least one
-        RUNNER-UP must score > 0.015, and among all candidates over 0.015 the
-        EARLIEST keyframe is returned (the reference's min_index scan).
-        Returns candidate index or None."""
+        :307-389): the best candidate must score > 0.05 and at least one
+        RUNNER-UP must score > 0.015; the gated candidates are returned
+        earliest-first (the reference's min_index scan picks the first)."""
         cfg = self.cfg
         if i_query <= RECENT_EXCLUDE:
-            return None
+            return []
         scores = np.array(brief.bow_scores(self.hists[i_query], self.hists))
         scores[max(0, i_query - RECENT_EXCLUDE):] = -1.0  # db.query max_id
         top = np.argsort(scores)[::-1][: cfg.top_k]
         top_s = scores[top]
         if top_s[0] < cfg.score_best:
-            return None
+            return []
         ok = top_s > cfg.score_min
         if not ok[1:].any():  # need a second independent candidate
-            return None
-        return int(top[ok].min())
+            return []
+        return sorted(int(j) for j in top[ok])
+
+    def detect(self, i_query: int):
+        """Earliest gated candidate (min_index scan) or None."""
+        cands = self.detect_candidates(i_query)
+        return cands[0] if cands else None
+
+    def detect_and_verify(self, i_query: int):
+        """Detection + geometric verification in one policy: gated candidates
+        are tried earliest-first until one verifies. (The reference verifies
+        only min_index each keyframe and relies on re-detection at later
+        keyframes; trying the whole gated set is strictly more robust under
+        our flatter LSH-BoW score distribution, with the same PnP gates as
+        the arbiter.) Returns (i_old, q_rel, p_rel) or None."""
+        for cand in self.detect_candidates(i_query):
+            conn = self.find_connection(i_query, cand)
+            if conn is not None:
+                return cand, conn[0], conn[1]
+        return None
 
     def find_connection(self, i_cur: int, i_old: int):
         """Geometric verification (findConnection keyframe.cpp:259-519):
@@ -208,6 +232,60 @@ class VisualLoopDB:
         self.graph = pg4.optimize(self.graph)
         return self.graph
 
+    def apply_drift_to_vio(self, R_d, dyaw: float, t_d):
+        """Relocalization-feedback bookkeeping: when the estimator window is
+        re-anchored by the loop drift, the insert-time (VIO-frame) records —
+        the graph's vio_p/vio_yaw (sequential-edge measurements) and this
+        store's vio_q/vio_pts3d — must move into the corrected frame too,
+        or the first post-loop sequential edge would bake in the frame jump.
+        A global yaw+t transform preserves all relative measurements, so the
+        graph solution is unchanged."""
+        n = self.n
+        if n == 0:
+            return
+        R_d = np.asarray(R_d, np.float32)
+        t_d = np.asarray(t_d, np.float32)
+        g = self.graph
+        vio_p_new = np.asarray(g.vio_p[:n]) @ R_d.T + t_d
+        self.graph = g._replace(
+            vio_p=g.vio_p.at[:n].set(jnp.asarray(vio_p_new)),
+            vio_yaw=g.vio_yaw.at[:n].add(jnp.float32(dyaw)))
+        half = 0.5 * float(dyaw)
+        qz = np.asarray([np.cos(half), 0.0, 0.0, np.sin(half)], np.float32)
+        self.vio_q[:n] = np.asarray(lie.qmul(
+            jnp.asarray(np.broadcast_to(qz, (n, 4))),
+            jnp.asarray(self.vio_q[:n], jnp.float32)))
+        self.vio_pts3d[:n] = self.vio_pts3d[:n] @ R_d.T + t_d
+
+    def sync_from_graph(self):
+        """updatePath/updatePoses analog (pose_graph.cpp:526-576): pull the
+        optimized node poses back into the keyframe store and move each
+        keyframe's world landmarks by its per-node yaw+t correction, so
+        future detections/verifications run in the corrected frame. Always
+        recomputed from the immutable insert-time copies."""
+        n = self.n
+        if n == 0:
+            return
+        g = self.graph
+        p_new = np.asarray(g.p[:n], np.float32)
+        dyaw = np.asarray(g.yaw[:n] - g.vio_yaw[:n], np.float32)
+        c, s = np.cos(dyaw), np.sin(dyaw)
+        R = np.zeros((n, 3, 3), np.float32)
+        R[:, 0, 0] = c
+        R[:, 0, 1] = -s
+        R[:, 1, 0] = s
+        R[:, 1, 1] = c
+        R[:, 2, 2] = 1.0
+        t = p_new - np.einsum("nij,nj->ni", R, np.asarray(g.vio_p[:n], np.float32))
+        self.p[:n] = p_new
+        self.win_pts3d[:n] = (np.einsum("nij,nkj->nki", R, self.vio_pts3d[:n])
+                              + t[:, None, :])
+        half = 0.5 * dyaw
+        qz = np.stack([np.cos(half), np.zeros_like(half), np.zeros_like(half),
+                       np.sin(half)], axis=-1)
+        self.q[:n] = np.asarray(lie.qmul(jnp.asarray(qz, jnp.float32),
+                                         jnp.asarray(self.vio_q[:n], jnp.float32)))
+
     # ------------------------------------------------------------------
     def save(self, path: str):
         """savePoseGraph analog (pose_graph.cpp:701-755)."""
@@ -217,6 +295,7 @@ class VisualLoopDB:
             win_valid=self.win_valid[: self.n], extra_desc=self.extra_desc[: self.n],
             extra_xy=self.extra_xy[: self.n], extra_valid=self.extra_valid[: self.n],
             q=self.q[: self.n], p=self.p[: self.n],
+            vio_q=self.vio_q[: self.n], vio_pts3d=self.vio_pts3d[: self.n],
             graph_p=np.asarray(self.graph.p), graph_yaw=np.asarray(self.graph.yaw),
             graph_pitch=np.asarray(self.graph.pitch), graph_roll=np.asarray(self.graph.roll),
             graph_seq=np.asarray(self.graph.seq),
@@ -237,6 +316,9 @@ class VisualLoopDB:
         self.extra_valid[:n] = d["extra_valid"]
         self.q[:n] = d["q"]
         self.p[:n] = d["p"]
+        self.vio_q[:n] = d["vio_q"] if "vio_q" in d else d["q"]
+        self.vio_pts3d[:n] = (d["vio_pts3d"] if "vio_pts3d" in d
+                              else d["win_pts3d"])
         g = self.graph
         self.graph = g._replace(
             p=g.p.at[: len(d["graph_p"])].set(jnp.asarray(d["graph_p"])),

@@ -47,6 +47,10 @@ class FeatureStore(NamedTuple):
     obs: jnp.ndarray  # (F, K, 2) normalized-plane coords
     obs_valid: jnp.ndarray  # (F, K) bool
     vel: jnp.ndarray  # (F, K, 2) normalized-plane velocity (for td)
+    # per-observation time shift in seconds: -td_at_capture + TR*row_norm
+    # (rolling shutter, projection_td_factor.cpp:51-52 TR/ROW terms; zero
+    # for global-shutter rigs with constant td)
+    tshift: jnp.ndarray  # (F, K)
     inv_depth: jnp.ndarray  # (F,) inverse depth at start frame
     lidar_flag: jnp.ndarray  # (F,) bool — depth from LiDAR, held constant in BA
     feat_id: jnp.ndarray  # (F,) int32 — global track id (-1 = empty)
@@ -110,6 +114,7 @@ def init_features(capacity: int, dtype=jnp.float32) -> FeatureStore:
         obs=jnp.zeros((capacity, K, 2), dtype),
         obs_valid=jnp.zeros((capacity, K), bool),
         vel=jnp.zeros((capacity, K, 2), dtype),
+        tshift=jnp.zeros((capacity, K), dtype),
         inv_depth=jnp.full((capacity,), -1.0, dtype),
         lidar_flag=jnp.zeros(capacity, bool),
         feat_id=jnp.full((capacity,), -1, jnp.int32),

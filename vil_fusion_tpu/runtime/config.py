@@ -99,6 +99,8 @@ class RigConfig:
     estimate_extrinsic: bool = False
     estimate_td: bool = False
     td: float = 0.0
+    rolling_shutter: bool = False  # parameters.cpp ROLLING_SHUTTER
+    tr: float = 0.0  # rolling-shutter readout time (s), parameters.cpp TR
     use_lidar: bool = True
     # lidar
     n_scan: int = 64
@@ -155,6 +157,8 @@ def load_rig(path: str) -> RigConfig:
         estimate_extrinsic=bool(est.get("estimate_extrinsic", False)),
         estimate_td=bool(est.get("estimate_td", False)),
         td=float(est.get("td", 0.0)),
+        rolling_shutter=bool(est.get("rolling_shutter", False)),
+        tr=float(est.get("rolling_shutter_tr", est.get("tr", 0.0))),
         use_lidar=bool(est.get("use_lidar", True)),
         n_scan=int(lid.get("n_scan", 64)),
         lidar_fov_up=float(lid.get("fov_up", 2.0)),

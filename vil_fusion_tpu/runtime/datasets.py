@@ -163,6 +163,71 @@ class EuRoC:
                     os.path.join(self.cam_dir, self.cam[i][1])))
 
 
+class ADVIO:
+    """ADVIO layout (the mask-variant dataset, reference README.md:75-84:
+    ADVIO-05 with the Mask-RCNN front end): advio-NN/iphone/{frames.csv,
+    accelerometer.csv, gyro.csv, frames/ or frames.mov} and
+    ground-truth/pose.csv.
+
+    Accelerometer and gyro are sampled on separate clocks; like the
+    reference's estimator-side bundling, the accelerometer is linearly
+    interpolated onto the gyro timestamps to form unified IMU events.
+    Images: extracted PNG frames under iphone/frames/ are used directly
+    (frame NNNNN.png per frames.csv row); decoding frames.mov requires an
+    external extraction step (no video decoder is assumed here).
+
+    Optional masks (for mode="mask") live under iphone/masks/ with the same
+    numbering; absent masks yield mask=None (plain VIO)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        ip = os.path.join(root, "iphone")
+        acc = np.loadtxt(os.path.join(ip, "accelerometer.csv"), delimiter=",")
+        gyr = np.loadtxt(os.path.join(ip, "gyro.csv"), delimiter=",")
+        self.imu_t = gyr[:, 0]
+        self.gyr = gyr[:, 1:4]
+        self.acc = np.stack([
+            np.interp(self.imu_t, acc[:, 0], acc[:, 1 + k]) for k in range(3)
+        ], axis=-1)
+        frames = np.loadtxt(os.path.join(ip, "frames.csv"), delimiter=",")
+        self.frame_t = frames[:, 0]
+        self.frame_no = frames[:, 1].astype(int)
+        self.frames_dir = os.path.join(ip, "frames")
+        self.masks_dir = os.path.join(ip, "masks")
+
+    def ground_truth(self):
+        """(t, p (N,3), q (N,4) wxyz) from ground-truth/pose.csv
+        (columns: time, x, y, z, qw, qx, qy, qz)."""
+        gt = np.loadtxt(os.path.join(self.root, "ground-truth", "pose.csv"),
+                        delimiter=",")
+        return gt[:, 0], gt[:, 1:4], gt[:, 4:8]
+
+    def _frame_path(self, d, no):
+        for pat in (f"{no:05d}.png", f"{no:06d}.png", f"{no}.png"):
+            p = os.path.join(d, pat)
+            if os.path.exists(p):
+                return p
+        return None
+
+    def events(self) -> Iterator[tuple]:
+        streams = [(t, "imu", i) for i, t in enumerate(self.imu_t)]
+        streams += [(t, "image", i) for i, t in enumerate(self.frame_t)]
+        streams.sort()
+        for t, kind, i in streams:
+            if kind == "imu":
+                yield ("imu", t, self.acc[i], self.gyr[i])
+            else:
+                p = self._frame_path(self.frames_dir, self.frame_no[i])
+                if p is None:
+                    continue  # frame not extracted
+                img = _load_image(p)
+                mp = self._frame_path(self.masks_dir, self.frame_no[i])
+                if mp is not None:
+                    yield ("image", t, img, _load_image(mp) > 0.5)
+                else:
+                    yield ("image", t, img)
+
+
 def replay(pipeline, events: Iterator[tuple], max_events: Optional[int] = None):
     """Drive a VILFusionPipeline from an event stream (the rosbag-play loop)."""
     n = 0
@@ -171,7 +236,8 @@ def replay(pipeline, events: Iterator[tuple], max_events: Optional[int] = None):
         if kind == "imu":
             pipeline.push_imu(ev[1], ev[2], ev[3])
         elif kind == "image":
-            pipeline.push_image(ev[1], ev[2])
+            pipeline.push_image(ev[1], ev[2],
+                                mask=ev[3] if len(ev) > 3 else None)
         elif kind == "scan":
             pipeline.push_scan(ev[1], ev[2], ev[3])
         n += 1

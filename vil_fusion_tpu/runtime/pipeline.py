@@ -78,7 +78,7 @@ class VILFusionPipeline:
 
     def __init__(self, rig: RigConfig, mode: str = "vil",
                  f_cap: int = 128, sc_capacity: int = 1024,
-                 visual_loop: bool = False):
+                 visual_loop: bool = False, gf_cfg=None, vl_cfg=None):
         self.rig = rig
         self.mode = mode
         self.cam = cam_mod.from_config(rig.camera)
@@ -112,11 +112,13 @@ class VILFusionPipeline:
         self.estimator = est_mod.VILEstimator(self.est_cfg)
         self.estimator.set_extrinsics(qic=rig.q_ic, tic=rig.t_ic, td=rig.td)
 
-        self.fusion = gf.GlobalFusion(gf.GlobalFusionConfig(
-            keyframe_dist=rig.keyframe_meter_gap,
-            keyframe_angle=np.deg2rad(rig.keyframe_deg_gap),
-            sc_dist_thres=rig.sc_dist_thres,
-            node_capacity=sc_capacity)) if use_lidar else None
+        if gf_cfg is None:
+            gf_cfg = gf.GlobalFusionConfig(
+                keyframe_dist=rig.keyframe_meter_gap,
+                keyframe_angle=np.deg2rad(rig.keyframe_deg_gap),
+                sc_dist_thres=rig.sc_dist_thres,
+                node_capacity=sc_capacity)
+        self.fusion = gf.GlobalFusion(gf_cfg) if use_lidar else None
 
         # camera-lidar extrinsic (points lidar->camera)
         if rig.q_cl is not None:
@@ -150,7 +152,7 @@ class VILFusionPipeline:
             from vil_fusion_tpu.models import visual_loop as vl
 
             self.visual_loop = vl.VisualLoopDB(
-                vl.VisualLoopConfig(capacity=sc_capacity),
+                vl.VisualLoopConfig(capacity=sc_capacity) if vl_cfg is None else vl_cfg,
                 qic=rig.q_ic, tic=rig.t_ic)
             self.loop_drift_R = np.eye(3, dtype=np.float32)
             self.loop_drift_t = np.zeros(3, np.float32)
@@ -359,11 +361,19 @@ class VILFusionPipeline:
         acc_b, gyr_b, dt_b, n_imu = self.estimator._pack_imu(acc, gyr, dts)
         dep_dev = (jnp.asarray(depth) if depth is not None
                    else jnp.zeros((self.tracker_cfg.cap,), jnp.float32))
+        # rolling shutter: per-observation readout shift TR*(row-ROW/2)/ROW
+        # (projection_td_factor.cpp:51-52, feature_tracker_node row channel)
+        tsh_dev = None
+        if self.rig.rolling_shutter and self.rig.tr != 0.0:
+            rows = obs["uv"][:, 1]
+            tsh_dev = (self.rig.tr / self.rig.image_height
+                       * (rows - 0.5 * self.rig.image_height))
         with GLOBAL_TIMERS.timed("estimator"):
             p_est, q_est, v_est = self.estimator.process_frame_device(
                 jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
                 n_imu, obs["ids"], obs["xy"], obs["vel"], dep_dev,
-                lidar_q_rel=lidar_q_rel_imu, lidar_p_rel=lidar_p_rel_imu)
+                lidar_q_rel=lidar_q_rel_imu, lidar_p_rel=lidar_p_rel_imu,
+                tsh=tsh_dev)
         if self.estimator.failed:
             # failureDetection reboot (estimator.cpp:212-219)
             self._restart()
@@ -374,7 +384,27 @@ class VILFusionPipeline:
         # BRIEF/BoW detection + PnP verification + 4-DoF graph + drift
         if (self.visual_loop is not None and self.estimator.initialized
                 and self.estimator.frame_count >= est_mod.K - 1):
-            self._visual_loop_step(img, p_est, q_est)
+            drift = self._visual_loop_step(img, p_est, q_est)
+            if drift is not None:
+                # relocalization feedback (estimator.cpp setReloFrame
+                # :1188-1206 + relo factors :799-836): re-anchor the VIO
+                # window itself into the loop-corrected frame (gauge
+                # transform), so the VIO output re-converges after a loop.
+                R_d, t_d = drift
+                self.estimator.apply_drift(R_d, t_d)
+                p_est = R_d @ p_est + t_d
+                q_est = np.asarray(lie.qmul(
+                    jnp.asarray(lie.R2q(jnp.asarray(R_d, jnp.float32))),
+                    jnp.asarray(q_est, jnp.float32)))
+                hr = getattr(self, "_hr", None)
+                if hr is not None:
+                    hr["p"] = R_d @ hr["p"] + t_d
+                    hr["q"] = np.asarray(lie.qmul(
+                        jnp.asarray(lie.R2q(jnp.asarray(R_d, jnp.float32))),
+                        jnp.asarray(hr["q"], jnp.float32)))
+                    hr["v"] = R_d @ hr["v"]
+                if self._last_kf_p is not None:
+                    self._last_kf_p = R_d @ self._last_kf_p + t_d
 
         self.outputs.ts.append(t)
         self.outputs.vio_p.append(p_est)
@@ -391,11 +421,14 @@ class VILFusionPipeline:
         return p_est, q_est
 
     def _visual_loop_step(self, img, p_est, q_est):
-        """Keyframe insert (2 m gate) + detection + verification + 4-DoF
-        drift update (pose_graph node process() + optimize4DoF rebuild)."""
+        """Keyframe insert (gated) + detection + verification + 4-DoF drift
+        update (pose_graph node process() + optimize4DoF rebuild).
+
+        Returns None, or the accepted loop's (R_d, t_d) yaw+translation drift
+        for relocalization feedback into the estimator window."""
         gap = self.visual_loop.cfg.keyframe_gap  # SKIP_DIS analog, configurable
         if self._last_kf_p is not None and np.linalg.norm(p_est - self._last_kf_p) < gap:
-            return
+            return None
         est = self.estimator
         # process_frame already slid the window: the newest frame's
         # observations and state live at slot K-2 now
@@ -404,7 +437,7 @@ class VILFusionPipeline:
             est.window, est.feats, jnp.int32(slot))
         valid = np.asarray(valid)
         if valid.sum() < 10:
-            return
+            return None
         pts_w = np.asarray(pts_w)[valid]
         obs_xy = np.asarray(obs_xy)[valid]
         # pixel coords of the observations for descriptor extraction
@@ -417,20 +450,27 @@ class VILFusionPipeline:
                                 np.ones(len(px), bool), self.cam,
                                 sequence=getattr(self, "sequence", 0))
         if i_cur is None:
-            return  # keyframe DB full
+            return None  # keyframe DB full
         self._last_kf_p = np.asarray(p_est)  # gate only on successful insert
-        cand = db.detect(i_cur)
-        if cand is None:
-            return
-        conn = db.find_connection(i_cur, cand)
-        if conn is None:
-            return
-        q_rel, p_rel = conn
+        hit = db.detect_and_verify(i_cur)
+        if hit is None:
+            return None
+        cand, q_rel, p_rel = hit
         graph_before = db.graph
         db.close_loop(i_cur, cand, q_rel, p_rel)
-        # drift: corrected keyframe pose vs VIO keyframe pose (:552-574)
+        # drift: corrected keyframe pose vs VIO keyframe pose (:552-574);
+        # pull optimized poses back into the keyframe store (updatePath)
         from vil_fusion_tpu.models import posegraph4dof as pg4
 
         dyaw, R_d, t_d = pg4.drift_transform(graph_before, db.graph, i_cur)
-        self.loop_drift_R = np.asarray(R_d)
-        self.loop_drift_t = np.asarray(t_d)
+        # move the insert-time (VIO-frame) records into the corrected frame
+        # (the estimator is about to be re-anchored by the same transform),
+        # then pull optimized poses back into the keyframe store (updatePath)
+        db.apply_drift_to_vio(np.asarray(R_d), float(dyaw), np.asarray(t_d))
+        db.sync_from_graph()
+        # with relocalization feedback the window itself is re-anchored, so
+        # no residual display drift remains (the reference instead keeps the
+        # VIO in its own frame and applies this to outputs, :552-574)
+        self.loop_drift_R = np.eye(3, dtype=np.float32)
+        self.loop_drift_t = np.zeros(3, np.float32)
+        return np.asarray(R_d), np.asarray(t_d)

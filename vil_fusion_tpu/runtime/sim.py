@@ -64,26 +64,8 @@ class TrajectoryConfig:
     roll_freq: float = 0.35
 
 
-class Trajectory:
-    """Analytic SE(3) trajectory; derivatives by high-order central differences."""
-
-    def __init__(self, cfg: TrajectoryConfig = TrajectoryConfig()):
-        self.cfg = cfg
-
-    def position(self, t):
-        c = self.cfg
-        t = np.asarray(t, dtype=np.float64)
-        x = c.speed * t
-        y = c.sway_amp * np.sin(2 * np.pi * c.sway_freq * t)
-        z = c.bob_amp * np.sin(2 * np.pi * c.bob_freq * t)
-        return np.stack([x, y, z], axis=-1)
-
-    def rotation(self, t):
-        c = self.cfg
-        y = c.yaw_amp * np.sin(2 * np.pi * c.yaw_freq * t)
-        p = c.pitch_amp * np.sin(2 * np.pi * c.pitch_freq * t)
-        r = c.roll_amp * np.sin(2 * np.pi * c.roll_freq * t)
-        return _ypr_to_R(y, p, r)
+class _TrajectoryBase:
+    """Derivatives by central differences over analytic position/rotation."""
 
     def velocity(self, t, h=1e-5):
         return (self.position(t + h) - self.position(t - h)) / (2 * h)
@@ -110,6 +92,93 @@ class Trajectory:
     def pose(self, t):
         """(q wxyz, p) at time t."""
         return R_to_q(self.rotation(t)), self.position(t)
+
+
+class Trajectory(_TrajectoryBase):
+    """Open corridor path: forward motion + lateral/vertical sway + yaw."""
+
+    def __init__(self, cfg: TrajectoryConfig = TrajectoryConfig()):
+        self.cfg = cfg
+
+    def position(self, t):
+        c = self.cfg
+        t = np.asarray(t, dtype=np.float64)
+        x = c.speed * t
+        y = c.sway_amp * np.sin(2 * np.pi * c.sway_freq * t)
+        z = c.bob_amp * np.sin(2 * np.pi * c.bob_freq * t)
+        return np.stack([x, y, z], axis=-1)
+
+    def rotation(self, t):
+        c = self.cfg
+        y = c.yaw_amp * np.sin(2 * np.pi * c.yaw_freq * t)
+        p = c.pitch_amp * np.sin(2 * np.pi * c.pitch_freq * t)
+        r = c.roll_amp * np.sin(2 * np.pi * c.roll_freq * t)
+        return _ypr_to_R(y, p, r)
+
+
+class LoopTrajectory(_TrajectoryBase):
+    """Closed circular circuit with tangent-following yaw — the loop-closure
+    path (the reference's KITTI-08-style revisit, README.md:47-55, in
+    analytic form). Speed is modulated along the circuit so the IMU
+    excitation check (initialStructure estimator.cpp:244-263 analog) passes
+    on a cold start; mild bob adds vertical excitation."""
+
+    def __init__(self, radius: float = 12.0, period: float = 35.0,
+                 speed_mod: float = 0.25, mod_period: float = 7.0,
+                 bob_amp: float = 0.12, bob_freq: float = 0.5,
+                 laps: float = 10.0):
+        self.radius = radius
+        self.period = period
+        self.speed_mod = speed_mod
+        self.mod_period = mod_period
+        self.bob_amp = bob_amp
+        self.bob_freq = bob_freq
+        self.laps = laps  # informational: callers run t in [0, laps*period)
+
+    def _theta(self, t):
+        return (2 * np.pi / self.period) * (
+            np.asarray(t, np.float64)
+            + self.speed_mod * self.mod_period / (2 * np.pi)
+            * np.sin(2 * np.pi * np.asarray(t, np.float64) / self.mod_period))
+
+    def position(self, t):
+        th = self._theta(t)
+        x = self.radius * np.sin(th)
+        y = self.radius * (1.0 - np.cos(th))
+        z = self.bob_amp * np.sin(2 * np.pi * self.bob_freq * np.asarray(t, np.float64))
+        return np.stack([x, y, z], axis=-1)
+
+    def rotation(self, t):
+        # yaw follows the path tangent (d position / d theta direction)
+        th = self._theta(t)
+        yaw = np.arctan2(np.sin(th), np.cos(th))  # tangent of the circle
+        return _ypr_to_R(yaw, 0.015 * np.sin(2.1 * np.asarray(t, np.float64)),
+                         0.012 * np.sin(1.7 * np.asarray(t, np.float64)))
+
+
+def urban_block_scene(radius: float = 12.0) -> RaycastScene:
+    """Structured world around a circular circuit of the given radius
+    (center (0, radius)): pillar rings inside and outside the path, boxes at
+    varied bearings (x- and y-facing planes for odometry observability),
+    bounding walls and ground. The 'urban block' replay world."""
+    scene = RaycastScene.__new__(RaycastScene)
+    c = np.array([0.0, radius])
+    scene.wall_y = 2 * radius + 16.0
+    scene.wall_h = 6.0
+    scene.x_lo, scene.x_hi = -(radius + 28.0), radius + 28.0
+    scene.pillar_r = 0.3
+    scene.pillar_h = 5.0
+    ang = np.deg2rad(np.arange(0, 360, 30))
+    inner = c + (radius - 6.0) * np.stack([np.sin(ang), -np.cos(ang)], -1)
+    outer = c + (radius + 7.0) * np.stack([np.sin(ang + 0.26), -np.cos(ang + 0.26)], -1)
+    scene.pillars = np.concatenate([inner, outer], axis=0)
+    angb = np.deg2rad(np.arange(15, 360, 45))
+    bc = c + (radius + 9.0) * np.stack([np.sin(angb), -np.cos(angb)], -1)
+    bi = c + (radius - 8.0) * np.stack([np.sin(angb + 0.4), -np.cos(angb + 0.4)], -1)
+    boxes = [[x, y, 1.2, 0.9, 2.5] for x, y in bc] + \
+            [[x, y, 0.9, 1.3, 3.0] for x, y in bi]
+    scene.boxes = np.asarray(boxes)
+    return scene
 
 
 def simulate_imu(traj: Trajectory, t0: float, t1: float, rate: float = 200.0,
