@@ -195,6 +195,56 @@ def test_pipeline_with_visual_loop_smoke(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "vins_result_loop.txt"))
 
 
+@pytest.mark.slow
+def test_deferred_sync_matches_synchronous():
+    """Cross-frame stage overlap (sync_depth=2, the reference's 4-process
+    pipeline parallelism as bounded-depth async dispatch) must produce the
+    same trajectory as the fully synchronous pipeline: identical device
+    programs, host logic deferred."""
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=1.5))
+    rig = make_rig()
+    overrides = dict(width=600, edge_map_cap=4096, surf_map_cap=8192,
+                     use_hash_knn=True)
+    pipes = [VILFusionPipeline(rig, mode="vil", odom_overrides=overrides,
+                               sync_depth=d) for d in (0, 2)]
+    frame_dt = 0.1
+    t0 = 1.0
+    q0, p0 = traj.pose(t0)
+    for pipe in pipes:
+        pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                         v=traj.velocity(t0))
+    n_frames = 16
+    for i in range(n_frames):
+        t = t0 + i * frame_dt
+        imu_seg = None
+        if i > 0:
+            imu_seg = sim.simulate_imu(traj, t - frame_dt, t, 200.0)
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = sim.render_camera_image(scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W)
+        pts, val = sim.simulate_lidar_scan(
+            scene, R_wb, p_wb, n_scan=32, width=600, fov_up_deg=30.0,
+            fov_down_deg=-30.0, max_range=80.0)
+        for pipe in pipes:
+            if imu_seg is not None:
+                ts_i, acc, gyr = imu_seg
+                for k in range(1, len(ts_i)):
+                    pipe.push_imu(ts_i[k], acc[k], gyr[k])
+            pipe.push_scan(t, pts, val)
+            pipe.push_image(t, img)
+    returned = pipes[1].finalize()
+    assert returned is not None
+    ref, ovl = pipes
+    assert len(ovl.outputs.ts) == len(ref.outputs.ts)
+    np.testing.assert_allclose(np.stack(ovl.outputs.vio_p),
+                               np.stack(ref.outputs.vio_p), atol=1e-5)
+    np.testing.assert_allclose(np.stack(ovl.outputs.lidar_p),
+                               np.stack(ref.outputs.lidar_p), atol=1e-5)
+    assert ovl.fusion.n_kf == ref.fusion.n_kf
+    assert ovl.restarts == ref.restarts == 0
+
+
 def test_viz_renders(tmp_path):
     from vil_fusion_tpu.runtime import viz
     rng = np.random.default_rng(0)

@@ -525,6 +525,26 @@ class VILEstimator:
                 lidar_q_rel=None if lidar_q_rel is None else np.asarray(lidar_q_rel),
                 lidar_p_rel=None if lidar_p_rel is None else np.asarray(lidar_p_rel),
                 obs_tshift=None if tsh is None else np.asarray(tsh)[val])
+        out = self.process_frame_device_async(
+            acc_b, gyr_b, dt_b, n_imu, ids, xy, vel, dep,
+            lidar_q_rel=lidar_q_rel, lidar_p_rel=lidar_p_rel, tsh=tsh)
+        host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
+                               out["failed"]))
+        self.absorb_result(host[3], host[4])
+        return np.asarray(host[0]), np.asarray(host[1]), np.asarray(host[2])
+
+    def process_frame_device_async(self, acc_b, gyr_b, dt_b, n_imu,
+                                   ids, xy, vel, dep,
+                                   lidar_q_rel=None, lidar_p_rel=None,
+                                   tsh=None) -> dict:
+        """Steady-state fused step with NO host sync: enqueues the whole
+        frame program and returns the raw device-ref output dict. The caller
+        must later fetch out["cost"]/out["failed"] and pass them to
+        `absorb_result` (deferred failure detection). This is the deployed
+        pipeline's cross-frame-overlap path (the reference's 4-process stage
+        overlap, launch/run_fusion.launch:13-36, reborn as bounded-depth
+        asynchronous dispatch)."""
+        assert self.frame_count >= K - 1 and self.initialized
         has_lidar = lidar_q_rel is not None
         lqr = lidar_q_rel if has_lidar else jnp.asarray([1.0, 0, 0, 0], self.dtype)
         lpr = lidar_p_rel if has_lidar else jnp.zeros(3, self.dtype)
@@ -535,12 +555,13 @@ class VILEstimator:
             self.window, self.feats, self.pre, self.lidar, self.prior,
             acc_b, gyr_b, dt_b, jnp.int32(n_imu), ids, xy, vel, dep, tsh,
             lqr, lpr, jnp.asarray(bool(has_lidar)), jnp.asarray(True), self.cfg)
-        host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
-                               out["failed"]))
-        self.last_cost = float(host[3])
-        if bool(host[4]):
+        return out
+
+    def absorb_result(self, host_cost, host_failed):
+        """Record a (possibly deferred) frame result fetched by the caller."""
+        self.last_cost = float(host_cost)
+        if bool(host_failed):
             self.failed = True
-        return np.asarray(host[0]), np.asarray(host[1]), np.asarray(host[2])
 
     def _pack_imu(self, acc, gyr, dts):
         """Pad/decimate raw IMU arrays into fixed-capacity buffers."""

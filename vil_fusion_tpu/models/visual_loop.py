@@ -46,7 +46,8 @@ class VisualLoopConfig(NamedTuple):
     top_k: int = 4  # BoW query width (db.query(..., 4, ...))
     keyframe_gap: float = 1.0  # m between loop keyframes (SKIP_DIS analog)
     pnp_ransac_hyp: int = 64
-    pnp_inlier_px: float = 3.0 / 460.0
+    pnp_inlier_px: float = 10.0 / 460.0  # solvePnPRansac reprojectionError
+    # (keyframe.cpp:227-232: 10.0/460.0 on the virtual-focal normalized plane)
 
 
 class VisualLoopDB:

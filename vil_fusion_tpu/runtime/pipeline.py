@@ -39,6 +39,61 @@ from vil_fusion_tpu.runtime.config import RigConfig
 from vil_fusion_tpu.utils.tracing import GLOBAL_TIMERS
 
 
+# -- tiny numpy quaternion kit for the host-side high-rate propagator --------
+# (the IMU-rate predict() path runs at 100-500 Hz; device dispatches there
+# would dominate deployment latency, so it is pure numpy)
+def _np_qmul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _np_qrot(q, v):
+    w, xyz = q[0], q[1:]
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def _np_so3_exp_q(phi):
+    a = np.linalg.norm(phi)
+    if a < 1e-8:
+        q = np.array([1.0, 0.5 * phi[0], 0.5 * phi[1], 0.5 * phi[2]])
+    else:
+        q = np.concatenate([[np.cos(0.5 * a)], np.sin(0.5 * a) * phi / a])
+    return q / np.linalg.norm(q)
+
+
+def _np_q2R(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _np_R2q(R):
+    w = 0.5 * np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 1e-12))
+    q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                  (R[0, 2] - R[2, 0]) / (4 * w),
+                  (R[1, 0] - R[0, 1]) / (4 * w)])
+    return q / np.linalg.norm(q)
+
+
+def _np_propagate(p, q, v, ba_, bg_, acc0, gyr0, acc1, gyr1, dt, g):
+    """numpy mirror of imu.propagate_state (estimator_node.cpp predict :44-80)."""
+    un_gyr = 0.5 * (gyr0 + gyr1) - bg_
+    q_new = _np_qmul(q, _np_so3_exp_q(un_gyr * dt))
+    q_new = q_new / np.linalg.norm(q_new)
+    un_acc = 0.5 * (_np_qrot(q, acc0 - ba_) + _np_qrot(q_new, acc1 - ba_)) - g
+    p_new = p + v * dt + 0.5 * un_acc * dt * dt
+    v_new = v + un_acc * dt
+    return p_new, q_new, v_new
+
+
 @dataclass
 class PipelineOutputs:
     ts: list = field(default_factory=list)
@@ -78,7 +133,8 @@ class VILFusionPipeline:
 
     def __init__(self, rig: RigConfig, mode: str = "vil",
                  f_cap: int = 128, sc_capacity: int = 1024,
-                 visual_loop: bool = False, gf_cfg=None, vl_cfg=None):
+                 visual_loop: bool = False, gf_cfg=None, vl_cfg=None,
+                 odom_overrides: Optional[dict] = None, sync_depth: int = 0):
         self.rig = rig
         self.mode = mode
         self.cam = cam_mod.from_config(rig.camera)
@@ -95,6 +151,14 @@ class VILFusionPipeline:
                 n_scan=rig.n_scan, width=1800 if rig.n_scan >= 64 else 900,
                 min_range=rig.lidar_min_range, max_range=rig.lidar_max_range,
                 fov_up_deg=rig.lidar_fov_up, fov_down_deg=rig.lidar_fov_down))
+        if odom_overrides:
+            lidar_kw = {k: v for k, v in odom_overrides.items()
+                        if k in lf.LidarConfig._fields}
+            odom_kw = {k: v for k, v in odom_overrides.items()
+                       if k in lo.OdomConfig._fields}
+            if lidar_kw:
+                odom_kw["lidar"] = self.lidar_cfg.lidar._replace(**lidar_kw)
+            self.lidar_cfg = self.lidar_cfg._replace(**odom_kw)
         self.lidar_state = lo.init_state(self.lidar_cfg)
 
         from vil_fusion_tpu.models.imu import ImuNoise
@@ -168,16 +232,31 @@ class VILFusionPipeline:
         self.outputs = PipelineOutputs()
         self.restarts = 0
 
+        # cross-frame stage overlap (the reference's 4 concurrent processes,
+        # launch/run_fusion.launch:13-36, reborn as bounded-depth async
+        # dispatch): with sync_depth=N the steady-state issue path enqueues
+        # the whole frame program with ZERO host reads and the host-side
+        # logic (failure detection, global fusion, visual loops, outputs)
+        # completes N frames later. sync_depth=0 is fully synchronous.
+        self.sync_depth = max(0, int(sync_depth))
+        self._pending: list = []  # in-flight frame records
+        self._gen = 0  # restart generation (stale in-flight frames skip logic)
+        self._imu_hist: list = []  # retained samples for deferred hr reseed
+
     # ------------------------------------------------------------------
     def push_imu(self, t, acc, gyr):
         """Buffer the sample and return an IMU-rate pose estimate
         (pubLatestOdometry / predict(), estimator_node.cpp:44-80)."""
         self.imu_buf.append((float(t), np.asarray(acc), np.asarray(gyr)))
+        # retained history for the deferred-sync reseed (re-propagation from
+        # a frame solved sync_depth frames ago; estimator_node update() analog)
+        self._imu_hist.append((float(t), np.asarray(acc, np.float64),
+                               np.asarray(gyr, np.float64)))
+        if len(self._imu_hist) > 4096:
+            del self._imu_hist[:2048]
         return self._propagate_high_rate(float(t), np.asarray(acc), np.asarray(gyr))
 
     def _propagate_high_rate(self, t, acc, gyr):
-        from vil_fusion_tpu.models import imu as imu_mod
-
         hr = getattr(self, "_hr", None)
         if hr is None or not self.estimator.initialized:
             return None
@@ -185,16 +264,14 @@ class VILFusionPipeline:
         if dt <= 0 or dt > 1.0:
             self._hr = None
             return None
-        g = np.asarray(self.estimator.gravity)
-        p, q, v = imu_mod.propagate_state(
-            jnp.asarray(hr["p"]), jnp.asarray(hr["q"]), jnp.asarray(hr["v"]),
-            jnp.asarray(hr["ba"]), jnp.asarray(hr["bg"]),
-            jnp.asarray(hr["acc"]), jnp.asarray(hr["gyr"]),
-            jnp.asarray(acc, jnp.float32), jnp.asarray(gyr, jnp.float32),
-            jnp.float32(dt), jnp.asarray(g, jnp.float32))
-        self._hr = dict(t=t, p=np.asarray(p), q=np.asarray(q), v=np.asarray(v),
-                        ba=hr["ba"], bg=hr["bg"], acc=np.asarray(acc, np.float32),
-                        gyr=np.asarray(gyr, np.float32))
+        g = np.asarray(self.estimator.gravity, np.float64)
+        p, q, v = _np_propagate(
+            hr["p"], hr["q"], hr["v"], hr["ba"], hr["bg"],
+            hr["acc"], hr["gyr"], np.asarray(acc, np.float64),
+            np.asarray(gyr, np.float64), dt, g)
+        self._hr = dict(t=t, p=p, q=q, v=v, ba=hr["ba"], bg=hr["bg"],
+                        acc=np.asarray(acc, np.float64),
+                        gyr=np.asarray(gyr, np.float64))
         return self._hr["p"], self._hr["q"], self._hr["v"]
 
     def _reset_high_rate(self, t):
@@ -244,6 +321,7 @@ class VILFusionPipeline:
                 p=np.asarray(ls.p), q=np.asarray(ls.q), v=v_est)
         self._hr = None
         self.restarts += 1
+        self._gen += 1  # in-flight frames of the failed estimator are stale
         self.sequence = getattr(self, "sequence", 0) + 1  # new_sequence()
 
     def _pop_imu_until(self, t):
@@ -319,6 +397,204 @@ class VILFusionPipeline:
         return np.asarray(p), np.asarray(q)
 
     def _process_frame(self, t, img, mask, scan):
+        if self.sync_depth == 0 or not (
+                self.estimator.initialized
+                and self.estimator.frame_count >= est_mod.K - 1):
+            # cold start / filling phase is host-orchestrated anyway
+            self._drain_pending()
+            return self._process_frame_sync(t, img, mask, scan)
+        rec = self._issue_frame(t, img, mask, scan)
+        self._pending.append(rec)
+        if len(self._pending) > self.sync_depth:
+            return self._complete_frame(self._pending.pop(0))
+        return None
+
+    def finalize(self):
+        """Drain in-flight frames (call once at the end of a replay)."""
+        return self._drain_pending()
+
+    def _drain_pending(self):
+        out = None
+        while self._pending:
+            out = self._complete_frame(self._pending.pop(0))
+        return out
+
+    def _issue_frame(self, t, img, mask, scan):
+        """Enqueue one frame's full device program with NO host reads:
+        tracker -> lidar odometry -> depth association -> fused estimator
+        step. Host-side consequences run in _complete_frame, sync_depth
+        frames later, so successive frames' stages overlap on device exactly
+        like the reference's concurrent processes overlap on successive
+        frames."""
+        import jax
+
+        rec: dict = dict(t=t, img=img, gen=self._gen, scan=None,
+                         drift_R=None, drift_t=None)
+        with GLOBAL_TIMERS.timed("tracker"):
+            self.tracker_state, obs = trk.track_step(
+                self.tracker_state, jnp.asarray(img, jnp.float32),
+                jnp.float32(t), self.cam, self.tracker_cfg,
+                dyn_mask=None if mask is None else jnp.asarray(mask),
+                key=jax.random.PRNGKey(int(t * 1e3) & 0x7FFFFFFF))
+
+        lidar_q_rel_imu = lidar_p_rel_imu = None
+        depth = None
+        if scan is not None:
+            _t_s, pts, val = scan
+            pts_dev = jnp.asarray(pts, jnp.float32)
+            val_dev = jnp.asarray(val)
+            with GLOBAL_TIMERS.timed("lidar_odometry"):
+                self.lidar_state, (lq, lp, lqr, lpr) = lo.odometry_step(
+                    self.lidar_state, pts_dev, val_dev, self.lidar_cfg)
+            lidar_q_rel_imu, lidar_p_rel_imu, cloud_cam = self._lidar_glue(
+                lqr, lpr, pts_dev, self.q_il, self.t_il,
+                self.q_li, self.t_li, self.q_cl, self.t_cl)
+            with GLOBAL_TIMERS.timed("depth_association"):
+                depth, _ok = depth_association.feature_depth(
+                    obs["xy"], obs["valid"], cloud_cam, val_dev)
+            rec["scan"] = (lq, lp, pts_dev, val_dev)
+
+        acc, gyr, dts = self._imu_segment_for_frame(t)
+        acc_b, gyr_b, dt_b, n_imu = self.estimator._pack_imu(acc, gyr, dts)
+        dep_dev = (jnp.asarray(depth) if depth is not None
+                   else jnp.zeros((self.tracker_cfg.cap,), jnp.float32))
+        tsh_dev = None
+        if self.rig.rolling_shutter and self.rig.tr != 0.0:
+            # device-side row->readout-shift math (no host read)
+            tsh_dev = (self.rig.tr / self.rig.image_height
+                       * (obs["uv"][:, 1] - 0.5 * self.rig.image_height))
+        with GLOBAL_TIMERS.timed("estimator"):
+            out = self.estimator.process_frame_device_async(
+                jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
+                n_imu, obs["ids"], obs["xy"], obs["vel"], dep_dev,
+                lidar_q_rel=lidar_q_rel_imu, lidar_p_rel=lidar_p_rel_imu,
+                tsh=tsh_dev)
+        # capture refs for deferred completion (newest frame slid to K-2)
+        w = self.estimator.window
+        slot = est_mod.K - 2
+        rec.update(out=out, window=w, feats=self.estimator.feats,
+                   hr_ba=w.ba[slot], hr_bg=w.bg[slot])
+        return rec
+
+    def _complete_frame(self, rec):
+        """Deferred host-side half of a frame: one batched device_get, then
+        failure handling, global fusion, visual loop closure, outputs."""
+        import jax
+
+        out = rec["out"]
+        fetch = [out["p"], out["q"], out["v"], out["cost"], out["failed"],
+                 rec["hr_ba"], rec["hr_bg"]]
+        if rec["scan"] is not None:
+            fetch += [rec["scan"][0], rec["scan"][1]]
+        host = jax.device_get(fetch)
+        p_est = np.asarray(host[0])
+        q_est = np.asarray(host[1])
+        v_est = np.asarray(host[2])
+        stale = rec["gen"] != self._gen
+        if not stale:
+            self.estimator.absorb_result(host[3], host[4])
+            if self.estimator.failed:
+                # failureDetection reboot, sync_depth frames late (the
+                # reference's detection is equally asynchronous to the
+                # front end: it lives in another process)
+                self._restart()
+            else:
+                self._reset_high_rate_from(rec["t"], p_est, q_est, v_est,
+                                           np.asarray(host[5]),
+                                           np.asarray(host[6]))
+        live = rec["gen"] == self._gen  # _restart above bumps gen
+
+        # global fusion is lidar-driven and survives estimator restarts
+        if rec["scan"] is not None and self.fusion is not None:
+            with GLOBAL_TIMERS.timed("global_fusion"):
+                self.fusion.add_frame(np.asarray(host[-2]),
+                                      np.asarray(host[-1]),
+                                      rec["scan"][2], rec["scan"][3])
+
+        # snapshot was captured pre-drift: apply any loop drift accepted
+        # while this frame was in flight
+        if rec["drift_R"] is not None:
+            R_d0, t_d0 = rec["drift_R"], rec["drift_t"]
+            p_est = R_d0 @ p_est + t_d0
+            q_est = _np_R2q(R_d0 @ _np_q2R(q_est))
+            v_est = R_d0 @ v_est
+
+        if (self.visual_loop is not None and live
+                and self.estimator.initialized and not self.estimator.failed):
+            drift = self._visual_loop_step(
+                rec["img"], p_est, q_est,
+                window=rec["window"], feats=rec["feats"],
+                pre_drift=(rec["drift_R"], rec["drift_t"]))
+            if drift is not None:
+                # relocalization feedback (setReloFrame :1188-1206 + relo
+                # factors :799-836): re-anchor the VIO window + in-flight
+                # snapshots into the loop-corrected frame
+                R_d, t_d = drift
+                self.estimator.apply_drift(R_d, t_d)
+                p_est = R_d @ p_est + t_d
+                q_est = _np_R2q(R_d @ _np_q2R(q_est))
+                for pr in self._pending:
+                    if pr["drift_R"] is None:
+                        pr["drift_R"], pr["drift_t"] = R_d.copy(), t_d.copy()
+                    else:
+                        pr["drift_R"] = R_d @ pr["drift_R"]
+                        pr["drift_t"] = R_d @ pr["drift_t"] + t_d
+                hr = getattr(self, "_hr", None)
+                if hr is not None:
+                    hr["p"] = R_d @ hr["p"] + t_d
+                    hr["q"] = _np_R2q(R_d @ _np_q2R(hr["q"]))
+                    hr["v"] = R_d @ hr["v"]
+                if self._last_kf_p is not None:
+                    self._last_kf_p = R_d @ self._last_kf_p + t_d
+
+        self.outputs.ts.append(rec["t"])
+        self.outputs.vio_p.append(p_est)
+        self.outputs.vio_q.append(q_est)
+        if self.visual_loop is not None:
+            self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
+            R_c = self.loop_drift_R @ _np_q2R(q_est)
+            self.outputs.loop_q.append(_np_R2q(R_c))
+        if rec["scan"] is not None:
+            self.outputs.lidar_p.append(np.asarray(host[-1]))
+            self.outputs.lidar_q.append(np.asarray(host[-2]))
+        else:
+            self.outputs.lidar_p.append(np.asarray(self.lidar_state.p))
+            self.outputs.lidar_q.append(np.asarray(self.lidar_state.q))
+        self.last_processed_t = rec["t"]
+        return p_est, q_est
+
+    def _reset_high_rate_from(self, t, p, q, v, ba_, bg_):
+        """Reseed the numpy high-rate propagator from a frame solved
+        sync_depth frames ago, then re-propagate the retained IMU samples up
+        to now (estimator_node.cpp update() :84-97 — it re-propagates
+        tmp_imu_buf after every solve for exactly this reason)."""
+        hist = [s for s in self._imu_hist if s[0] > t + 1e-9]
+        anchor = None
+        for s in self._imu_hist:
+            if s[0] <= t + 1e-9:
+                anchor = s
+        if anchor is None:
+            acc0 = np.array([0.0, 0, 9.81])
+            gyr0 = np.zeros(3)
+        else:
+            acc0, gyr0 = anchor[1], anchor[2]
+        hr = dict(t=float(t), p=np.asarray(p, np.float64),
+                  q=np.asarray(q, np.float64), v=np.asarray(v, np.float64),
+                  ba=np.asarray(ba_, np.float64), bg=np.asarray(bg_, np.float64),
+                  acc=acc0, gyr=gyr0)
+        g = np.asarray(self.estimator.gravity, np.float64)
+        for (ts_, acc, gyr) in hist:
+            dt = ts_ - hr["t"]
+            if dt <= 0 or dt > 1.0:
+                hr.update(t=ts_, acc=acc, gyr=gyr)
+                continue
+            pn, qn, vn = _np_propagate(hr["p"], hr["q"], hr["v"], hr["ba"],
+                                       hr["bg"], hr["acc"], hr["gyr"],
+                                       acc, gyr, dt, g)
+            hr.update(t=ts_, p=pn, q=qn, v=vn, acc=acc, gyr=gyr)
+        self._hr = hr
+
+    def _process_frame_sync(self, t, img, mask, scan):
         import jax
 
         # 1. visual tracking
@@ -420,9 +696,16 @@ class VILFusionPipeline:
         self.last_processed_t = t
         return p_est, q_est
 
-    def _visual_loop_step(self, img, p_est, q_est):
+    def _visual_loop_step(self, img, p_est, q_est, window=None, feats=None,
+                          pre_drift=(None, None)):
         """Keyframe insert (gated) + detection + verification + 4-DoF drift
         update (pose_graph node process() + optimize4DoF rebuild).
+
+        window/feats: estimator snapshot captured at issue time (deferred
+        path); defaults to the live estimator state. pre_drift: loop drift
+        accepted while the snapshot was in flight — the snapshot landmarks
+        are still in the pre-drift frame and must be moved (p_est/q_est
+        arrive already corrected).
 
         Returns None, or the accepted loop's (R_d, t_d) yaw+translation drift
         for relocalization feedback into the estimator window."""
@@ -430,16 +713,22 @@ class VILFusionPipeline:
         if self._last_kf_p is not None and np.linalg.norm(p_est - self._last_kf_p) < gap:
             return None
         est = self.estimator
+        if window is None:
+            window = est.window
+        if feats is None:
+            feats = est.feats
         # process_frame already slid the window: the newest frame's
         # observations and state live at slot K-2 now
         slot = est_mod.K - 2
         pts_w, obs_xy, ids, valid = est_mod.landmarks_world(
-            est.window, est.feats, jnp.int32(slot))
+            window, feats, jnp.int32(slot))
         valid = np.asarray(valid)
         if valid.sum() < 10:
             return None
         pts_w = np.asarray(pts_w)[valid]
         obs_xy = np.asarray(obs_xy)[valid]
+        if pre_drift[0] is not None:
+            pts_w = pts_w @ pre_drift[0].T + pre_drift[1]
         # pixel coords of the observations for descriptor extraction
         px = np.asarray(cam_mod.project(
             self.cam, jnp.concatenate(
