@@ -67,6 +67,90 @@ def bench_lidar_odometry(n_frames=24, warmup=3):
     return n_frames / dt
 
 
+def bench_vil_pipeline(n_frames=40, warmup=26):
+    # warmup must cover the FIRST steady-state frame (the fused estimator
+    # step compiles there, ~20-40 s) and the first global-graph optimize
+    # (every 8 keyframes), or their compiles pollute the timed region.
+    """PRIMARY metric: the full camera+IMU+LiDAR deployment pipeline — the
+    thing that IS VIL_Fusion (launch/run_fusion.launch) — at KITTI scale:
+    1226x370 image, HDL-64 64x1800 scan, 200 Hz IMU, 10 Hz frame cadence.
+
+    Drives the actual VILFusionPipeline with sync_depth=2 (cross-frame stage
+    overlap; one batched device_get per frame = bounded-depth pipelining, the
+    honest measurement under remote-execution — see bench_lidar_odometry).
+    Returns (fps, per-stage mean ms)."""
+    import jax
+    import numpy as np
+
+    from vil_fusion_tpu.runtime import sim
+    from vil_fusion_tpu.runtime.config import RigConfig
+    from vil_fusion_tpu.runtime.pipeline import VILFusionPipeline
+    from vil_fusion_tpu.utils.tracing import GLOBAL_TIMERS
+
+    R_BC = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    H, W = 370, 1226  # KITTI image size
+    FX = FY = 718.856
+    CX, CY = 607.19, 185.22
+    rig = RigConfig(
+        name="kitti-bench",
+        camera=dict(model_type="PINHOLE",
+                    projection_parameters=dict(fx=FX, fy=FY, cx=CX, cy=CY),
+                    distortion_parameters=dict(k1=0.0, k2=0.0, p1=0.0, p2=0.0)),
+        image_height=H, image_width=W,
+        q_ic=sim.R_to_q(R_BC), t_ic=np.zeros(3),
+        q_cl=sim.R_to_q(R_BC.T), t_cl=np.zeros(3),
+        max_cnt=150, min_dist=30, n_scan=64,
+        lidar_fov_up=2.0, lidar_fov_down=-24.8, lidar_min_range=1.0,
+        lidar_max_range=80.0, use_lidar=True)
+    pipe = VILFusionPipeline(rig, mode="vil", sync_depth=2)
+
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=8.0))  # urban KITTI pace
+    frame_dt = 0.1
+    t0 = 1.0
+    q0, p0 = traj.pose(t0)
+    pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                     v=traj.velocity(t0))
+
+    # pre-generate all sensor data (host) so the loop times only the pipeline
+    frames = []
+    total = warmup + n_frames
+    for i in range(total):
+        t = t0 + i * frame_dt
+        imu = sim.simulate_imu(traj, t - frame_dt, t, 200.0) if i else None
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = np.asarray(sim.render_camera_image(
+            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W))
+        pts, val = sim.simulate_lidar_scan(
+            scene, R_wb, p_wb, n_scan=64, width=1800, fov_up_deg=2.0,
+            fov_down_deg=-24.8, max_range=80.0)
+        frames.append((t, imu, img, np.asarray(pts), np.asarray(val)))
+
+    def feed(frame):
+        t, imu, img, pts, val = frame
+        if imu is not None:
+            ts_i, acc, gyr = imu
+            for k in range(1, len(ts_i)):
+                pipe.push_imu(ts_i[k], acc[k], gyr[k])
+        pipe.push_scan(t, pts, val)
+        pipe.push_image(t, img)
+
+    for f in frames[:warmup]:
+        feed(f)
+    while len(pipe._pending) > 0:
+        pipe._complete_frame(pipe._pending.pop(0))
+    GLOBAL_TIMERS.reset()
+    t_start = time.perf_counter()
+    for f in frames[warmup:]:
+        feed(f)
+    pipe.finalize()
+    dt = time.perf_counter() - t_start
+    stages = {k: round(v["mean_ms"], 2)
+              for k, v in GLOBAL_TIMERS.summary().items()}
+    return n_frames / dt, stages
+
+
 def bench_ba(n_solves=10, warmup=2):
     import jax
 
@@ -87,13 +171,17 @@ def bench_ba(n_solves=10, warmup=2):
 
 
 def main():
-    frames_per_s = bench_lidar_odometry()
+    vil_fps, stages = bench_vil_pipeline()
+    lidar_fps = bench_lidar_odometry()
     ba_iters_per_s = bench_ba()
+    stage_str = " ".join(f"{k}={v}ms" for k, v in sorted(stages.items()))
     print(json.dumps({
-        "metric": "lidar_odometry_frames_per_s",
-        "value": round(frames_per_s, 3),
-        "unit": "frames/s (HDL-64 scale; aux: ba_iters_per_s=%.1f)" % ba_iters_per_s,
-        "vs_baseline": round(frames_per_s / 10.0, 3),
+        "metric": "vil_pipeline_frames_per_s",
+        "value": round(vil_fps, 3),
+        "unit": ("frames/s (full camera+IMU+LiDAR deployment pipeline, KITTI "
+                 "scale, sync_depth=2; stages: %s; aux: lidar_only_fps=%.2f "
+                 "ba_iters_per_s=%.1f)") % (stage_str, lidar_fps, ba_iters_per_s),
+        "vs_baseline": round(vil_fps / 10.0, 3),
     }))
 
 

@@ -47,6 +47,56 @@ def test_sharded_ba_step_matches_single_device(mesh):
         np.asarray(new_feats.inv_depth), np.asarray(ref_feats.inv_depth), atol=5e-4)
 
 
+def test_sharded_full_lm_loop_matches_single_device(mesh):
+    """VERDICT item: the FULL annealed LM loop (accept/reject, GNC schedule,
+    re-anchoring) sharded over the mesh must match ba.optimize."""
+    import __graft_entry__ as ge
+    from vil_fusion_tpu.models import ba
+    from vil_fusion_tpu.parallel.sharded_ba import optimize_sharded
+
+    cfg = ba.BAConfig(max_iters=8)
+    state, feats, pre, lidar, prior = ge._example_problem(f_cap=128)
+    st_sh, ft_sh, cost_sh = optimize_sharded(
+        mesh, state, feats, pre, lidar, prior, cfg)
+    st_ref, ft_ref, cost_ref = ba.optimize(state, feats, pre, lidar, prior, cfg)
+    np.testing.assert_allclose(float(cost_sh), float(cost_ref), rtol=1e-3,
+                               atol=1e-5)
+    # states agree to convergence level: f32 psum reduction-order noise
+    # compounds through 8 accept/reject iterations in near-null directions
+    np.testing.assert_allclose(np.asarray(st_sh.p), np.asarray(st_ref.p),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st_sh.q), np.asarray(st_ref.q),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ft_sh.inv_depth),
+                               np.asarray(ft_ref.inv_depth), atol=5e-3)
+
+
+def test_sharded_ba_estimator_option(mesh):
+    """BAConfig.sharded wires the sharded LM loop into the fused estimator
+    step via the active mesh."""
+    from vil_fusion_tpu.models import ba
+    from vil_fusion_tpu.parallel import mesh as mesh_mod
+
+    import __graft_entry__ as ge
+
+    mesh_mod.set_active_mesh(mesh)
+    try:
+        state, feats, pre, lidar, prior = ge._example_problem(f_cap=128)
+        cfg = ba.BAConfig(max_iters=4, sharded=True)
+        from vil_fusion_tpu.parallel.sharded_ba import optimize_on_active_mesh
+
+        st, ft, cost = optimize_on_active_mesh(state, feats, pre, lidar,
+                                               prior, cfg)
+        st_ref, ft_ref, cost_ref = ba.optimize(
+            state, feats, pre, lidar, prior, cfg._replace(sharded=False))
+        np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-3,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st.p), np.asarray(st_ref.p),
+                                   atol=1e-3)
+    finally:
+        mesh_mod.set_active_mesh(None)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 

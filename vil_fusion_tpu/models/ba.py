@@ -58,6 +58,11 @@ class BAConfig(NamedTuple):
     # instead lets depth go negative and deletes the feature post-solve
     # (feature_manager removeFailures); we keep the slot alive but clamped.
     depth_min: float = 1e-4
+    # run the LM loop with landmark factors sharded over the active device
+    # mesh (parallel/sharded_ba.optimize_sharded; the reference's 4-pthread
+    # Hessian map-reduce, marginalization_factor.cpp:232-261, scaled to
+    # chips). Requires parallel.mesh.set_active_mesh() first.
+    sharded: bool = False
 
 
 class System(NamedTuple):

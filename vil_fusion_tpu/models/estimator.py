@@ -314,7 +314,15 @@ def fused_full_step(
     def do_ba(args):
         window, feats = args
         feats = triangulate(window, feats, cfg.tri_min_depth)
-        w2, f2, cost = ba.optimize(window, feats, pre, lidar, prior, cfg.ba)
+        if cfg.ba.sharded:
+            # landmark factors sharded over the active mesh (the reference's
+            # 4-pthread Hessian map-reduce scaled to chips)
+            from vil_fusion_tpu.parallel import sharded_ba
+
+            w2, f2, cost = sharded_ba.optimize_on_active_mesh(
+                window, feats, pre, lidar, prior, cfg.ba)
+        else:
+            w2, f2, cost = ba.optimize(window, feats, pre, lidar, prior, cfg.ba)
         return w2, f2, cost
 
     def skip_ba(args):
@@ -486,8 +494,16 @@ class VILEstimator:
             prev_p = self.window.p[K - 1]
             prev_q = self.window.q[K - 1]
             self.feats = triangulate(self.window, self.feats, cfg.tri_min_depth)
-            self.window, self.feats, cost = ba.optimize(
-                self.window, self.feats, self.pre, self.lidar, self.prior, cfg.ba)
+            if cfg.ba.sharded:
+                from vil_fusion_tpu.parallel import sharded_ba
+
+                self.window, self.feats, cost = sharded_ba.optimize_on_active_mesh(
+                    self.window, self.feats, self.pre, self.lidar, self.prior,
+                    cfg.ba)
+            else:
+                self.window, self.feats, cost = ba.optimize(
+                    self.window, self.feats, self.pre, self.lidar, self.prior,
+                    cfg.ba)
             self.last_cost = float(cost)
             if bool(failure_detection(self.window, prev_p, prev_q)):
                 self.failed = True

@@ -360,11 +360,21 @@ def pnp_ransac(pts3d, obs, valid, q0, p0, n_hyp: int = 64,
 
     qs, ps, counts = jax.vmap(hyp)(sel)
     b = jnp.argmax(counts)
-    # final refinement on the best hypothesis' inliers
-    pc = lie.qrot(lie.qconj(qs[b])[None, :], pts3d - ps[b][None, :])
+    # iterated refinement on the growing inlier set (solvePnPRansac's
+    # internal LM refinement over 100 iterations does the same: each refine
+    # pulls borderline-correct correspondences inside the tolerance)
+    def refine(carry, _):
+        q, p = carry
+        pc = lie.qrot(lie.qconj(q)[None, :], pts3d - p[None, :])
+        z = jnp.maximum(pc[..., 2], 1e-4)
+        rep = jnp.linalg.norm(pc[..., :2] / z[..., None] - obs, axis=-1)
+        inl = valid & (rep < inlier_tol)
+        q2, p2, _ = init_mod.pnp_gn(pts3d, obs, inl.astype(dtype), q, p, iters=8)
+        return (q2, p2), None
+
+    (q, p), _ = jax.lax.scan(refine, (qs[b], ps[b]), None, length=3)
+    pc = lie.qrot(lie.qconj(q)[None, :], pts3d - p[None, :])
     z = jnp.maximum(pc[..., 2], 1e-4)
-    rep = jnp.linalg.norm(pc[..., :2] / z[..., None] - obs, axis=-1)
-    inl = valid & (rep < inlier_tol)
-    q, p, rep2 = init_mod.pnp_gn(pts3d, obs, inl.astype(dtype), qs[b], ps[b], iters=8)
+    rep2 = jnp.linalg.norm(pc[..., :2] / z[..., None] - obs, axis=-1)
     inl_final = valid & (rep2 < inlier_tol)
     return q, p, inl_final

@@ -27,6 +27,22 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None):
+    """Install the mesh used by sharded code paths selected via config flags
+    (e.g. BAConfig.sharded) that cannot carry a Mesh object themselves."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Mesh:
+    if _ACTIVE_MESH is None:
+        raise RuntimeError("no active mesh: call parallel.mesh.set_active_mesh")
+    return _ACTIVE_MESH
+
+
 def shard_rows(mesh: Mesh):
     return NamedSharding(mesh, P(AXIS))
 

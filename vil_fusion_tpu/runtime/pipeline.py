@@ -473,7 +473,8 @@ class VILFusionPipeline:
         w = self.estimator.window
         slot = est_mod.K - 2
         rec.update(out=out, window=w, feats=self.estimator.feats,
-                   hr_ba=w.ba[slot], hr_bg=w.bg[slot])
+                   hr_ba=w.ba[slot], hr_bg=w.bg[slot],
+                   obs_ids=obs["ids"], obs_dep=dep_dev)
         return rec
 
     def _complete_frame(self, rec):
@@ -483,7 +484,7 @@ class VILFusionPipeline:
 
         out = rec["out"]
         fetch = [out["p"], out["q"], out["v"], out["cost"], out["failed"],
-                 rec["hr_ba"], rec["hr_bg"]]
+                 rec["hr_ba"], rec["hr_bg"], rec["obs_ids"], rec["obs_dep"]]
         if rec["scan"] is not None:
             fetch += [rec["scan"][0], rec["scan"][1]]
         host = jax.device_get(fetch)
@@ -524,7 +525,8 @@ class VILFusionPipeline:
             drift = self._visual_loop_step(
                 rec["img"], p_est, q_est,
                 window=rec["window"], feats=rec["feats"],
-                pre_drift=(rec["drift_R"], rec["drift_t"]))
+                pre_drift=(rec["drift_R"], rec["drift_t"]),
+                fresh=(np.asarray(host[7]), np.asarray(host[8])))
             if drift is not None:
                 # relocalization feedback (setReloFrame :1188-1206 + relo
                 # factors :799-836): re-anchor the VIO window + in-flight
@@ -660,7 +662,9 @@ class VILFusionPipeline:
         # BRIEF/BoW detection + PnP verification + 4-DoF graph + drift
         if (self.visual_loop is not None and self.estimator.initialized
                 and self.estimator.frame_count >= est_mod.K - 1):
-            drift = self._visual_loop_step(img, p_est, q_est)
+            drift = self._visual_loop_step(
+                img, p_est, q_est,
+                fresh=(np.asarray(obs["ids"]), np.asarray(dep_dev)))
             if drift is not None:
                 # relocalization feedback (estimator.cpp setReloFrame
                 # :1188-1206 + relo factors :799-836): re-anchor the VIO
@@ -697,7 +701,7 @@ class VILFusionPipeline:
         return p_est, q_est
 
     def _visual_loop_step(self, img, p_est, q_est, window=None, feats=None,
-                          pre_drift=(None, None)):
+                          pre_drift=(None, None), fresh=None):
         """Keyframe insert (gated) + detection + verification + 4-DoF drift
         update (pose_graph node process() + optimize4DoF rebuild).
 
@@ -729,6 +733,27 @@ class VILFusionPipeline:
         obs_xy = np.asarray(obs_xy)[valid]
         if pre_drift[0] is not None:
             pts_w = pts_w @ pre_drift[0].T + pre_drift[1]
+        if fresh is not None:
+            # prefer THIS frame's lidar depths for the exported landmarks:
+            # anchor-frame inverse depths decay through marginalization
+            # handovers (removeBackShiftDepth), while a fresh depth is
+            # rigidly consistent with the current keyframe pose — exactly
+            # what loop PnP measures. (Idiomatic improvement over
+            # pubKeyframe's anchor-depth export, visualization.cpp:385-440.)
+            fids, fdep = fresh
+            fok = (fids >= 0) & (fdep > 0)
+            lut = {int(i): float(d) for i, d in zip(fids[fok], fdep[fok])}
+            ids_v = np.asarray(ids)[valid]
+            z = np.array([lut.get(int(i), -1.0) for i in ids_v], np.float32)
+            has = z > 0
+            if has.any():
+                R_wb = _np_q2R(np.asarray(q_est, np.float64))
+                R_ic = _np_q2R(np.asarray(self.rig.q_ic, np.float64))
+                R_wc = R_wb @ R_ic
+                p_wc = R_wb @ np.asarray(self.rig.t_ic, np.float64) + p_est
+                rays = np.concatenate(
+                    [obs_xy[has], np.ones((int(has.sum()), 1), np.float32)], -1)
+                pts_w[has] = (rays * z[has, None]) @ R_wc.T + p_wc
         # pixel coords of the observations for descriptor extraction
         px = np.asarray(cam_mod.project(
             self.cam, jnp.concatenate(
