@@ -118,6 +118,34 @@ def test_posegraph_closes_loop():
     graph = pg.optimize(graph)
     drift_after = float(jnp.linalg.norm(graph.p[n] - poses_gt[n][1]))
     assert drift_after < 0.2 * drift_before, (drift_before, drift_after)
+    return graph
+
+
+def test_posegraph_bucketed_matches_full():
+    """optimize_bucketed on a 256-capacity graph with 41 active nodes solves
+    in a 64-slot bucket and must match the full-capacity solve exactly."""
+    full = test_posegraph_closes_loop()  # optimized at full capacity
+    # rebuild the same un-optimized graph: re-run deterministic construction
+    # is awkward, so instead reset poses to odometry composition and optimize
+    n = int(full.n_nodes)
+    graph = full
+    q, p = graph.q, graph.p
+    q = q.at[0].set(jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+    p = p.at[0].set(jnp.zeros(3, jnp.float32))
+    for k in range(1, n):
+        qa, pa = lie.pose_compose((q[k - 1], p[k - 1]),
+                                  (graph.odo_q[k], graph.odo_p[k]))
+        q = q.at[k].set(qa)
+        p = p.at[k].set(pa)
+    fresh = graph._replace(q=q, p=p)
+    out_full = pg.optimize(fresh)
+    out_bkt = pg.optimize_bucketed(fresh, n)
+    assert out_bkt.q.shape == fresh.q.shape
+    np.testing.assert_allclose(np.asarray(out_bkt.p[:n]),
+                               np.asarray(out_full.p[:n]), atol=1e-4)
+    np.testing.assert_allclose(np.abs(np.sum(
+        np.asarray(out_bkt.q[:n]) * np.asarray(out_full.q[:n]), axis=-1)),
+        1.0, atol=1e-5)
 
 
 @pytest.mark.slow
@@ -153,6 +181,7 @@ def test_global_fusion_end_to_end_loop():
             q_odom, p_odom = lie.pose_compose((q_odom, p_odom), (q_rel, p_rel))
         pts, val = _scan_at(scene, R_gt, p_gt)
         fusion.add_frame(q_odom, p_odom, pts, val)
+    fusion.flush()  # resolve the last keyframe's in-flight loop query
     assert len(fusion.loops_found) >= 1, "no loop detected"
     q_all, p_all = fusion.poses()
     # end-of-loop error vs ground truth start (first and last gt positions align)

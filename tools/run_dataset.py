@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--out", default="out")
     ap.add_argument("--max-events", type=int, default=None)
     ap.add_argument("--visual-loop", action="store_true")
+    ap.add_argument("--sync-depth", type=int, default=2,
+                    help="cross-frame stage overlap depth (0 = synchronous)")
     args = ap.parse_args()
 
     from vil_fusion_tpu.runtime import datasets, tum, viz
@@ -46,7 +48,8 @@ def main():
     from vil_fusion_tpu.utils.tracing import GLOBAL_TIMERS
 
     rig = load_rig(args.config)
-    pipe = VILFusionPipeline(rig, mode=args.mode, visual_loop=args.visual_loop)
+    pipe = VILFusionPipeline(rig, mode=args.mode, visual_loop=args.visual_loop,
+                         sync_depth=args.sync_depth)
 
     if args.dataset == "kitti":
         ds = datasets.KittiOdometry(args.data, args.seq)

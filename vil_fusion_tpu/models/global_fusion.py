@@ -88,7 +88,8 @@ class GlobalFusionConfig(NamedTuple):
     node_capacity: int = 2048
     loop_capacity: int = 256
     cloud_capacity: int = 2048  # stored points per keyframe (downsampled)
-    optimize_every: int = 1  # keyframes between relaxations (isam 1 Hz analog)
+    optimize_every: int = 4  # keyframes between relaxations (isam 1 Hz analog:
+    # at the 2 m / 10 deg gate and urban speeds, ~1-4 keyframes/s)
 
 
 class GlobalFusion:
@@ -103,11 +104,13 @@ class GlobalFusion:
         self.cloud_valid = jnp.zeros((cfg.node_capacity, cfg.cloud_capacity), bool)
         self.kf_q_odom = []  # odometry pose at each keyframe (host list)
         self.kf_p_odom = []
+        self.kf_ts = []  # keyframe timestamps (for TUM export / ATE)
         self.n_kf = 0
         self.last_q = None
         self.last_p = None
         self.loops_found = []  # (i, j) pairs accepted
         self._pending_opt = 0
+        self._pending_sc = None  # in-flight loop query (async host copy)
 
     # ------------------------------------------------------------------
     def is_keyframe(self, q, p) -> bool:
@@ -120,7 +123,8 @@ class GlobalFusion:
         dth = 2.0 * np.arccos(np.clip(np.abs(np.dot(q, lq)), 0.0, 1.0))
         return dp > self.cfg.keyframe_dist or dth > self.cfg.keyframe_angle
 
-    def add_frame(self, q_odom, p_odom, scan_points, scan_valid) -> Optional[tuple]:
+    def add_frame(self, q_odom, p_odom, scan_points, scan_valid,
+                  t: Optional[float] = None) -> Optional[tuple]:
         """Feed one odometry pose + body-frame scan. Returns (i, j) if a loop
         was accepted this keyframe, else None. Non-keyframes are ignored
         (the gate :518-538)."""
@@ -148,6 +152,7 @@ class GlobalFusion:
         self.graph = pg.add_node(self.graph, q_abs, p_abs, q_rel, p_rel)
         self.kf_q_odom.append(np.asarray(q_odom))
         self.kf_p_odom.append(np.asarray(p_odom))
+        self.kf_ts.append(float(t) if t is not None else float(i))
 
         # store downsampled cloud + descriptor + loop query — one fused
         # device call (loopDetection :598-615)
@@ -159,17 +164,49 @@ class GlobalFusion:
         self.cloud_valid = self.cloud_valid.at[i].set(sel[1])
         self.n_kf += 1
 
-        result = None
-        if float(dist) < cfg.sc_dist_thres:
-            j = int(cand)
-            accepted = self._verify_loop(i, j, float(sc.shift_to_yaw(shift)))
-            if accepted:
-                result = (i, j)
-                self.loops_found.append(result)
+        # start the host copy of this keyframe's loop query NOW and resolve
+        # it at the NEXT keyframe — the reference's loopDetection/ICP workers
+        # are equally asynchronous to graph building (1 Hz threads,
+        # poseGraphOptimization.cpp:669-675); a synchronous float(dist) here
+        # would stall the whole dispatch queue every keyframe
+        for x in (cand, dist, shift):
+            x.copy_to_host_async()
+        pending, self._pending_sc = self._pending_sc, (i, cand, dist, shift)
+        result = self._resolve_sc(pending)
 
         self._pending_opt += 1
-        if (result is not None) or self._pending_opt >= cfg.optimize_every:
-            self.graph = pg.optimize(self.graph)
+        # relaxation is a no-op until the first loop edge exists: nodes are
+        # initialized by exact odometry composition, so every odometry
+        # residual is zero and GN moves nothing — skip the dispatch entirely
+        # (the reference's iSAM2 pays ~0 for the same reason: no new info)
+        if self.loops_found and (
+                result is not None or self._pending_opt >= cfg.optimize_every):
+            self.graph = pg.optimize_bucketed(self.graph, self.n_kf)
+            self._pending_opt = 0
+        return result
+
+    def _resolve_sc(self, pending) -> Optional[tuple]:
+        """Evaluate a previously-dispatched ScanContext loop query (its host
+        copy has been in flight since the keyframe was inserted)."""
+        if pending is None:
+            return None
+        i, cand, dist, shift = pending
+        if float(dist) >= self.cfg.sc_dist_thres:
+            return None
+        j = int(cand)
+        if not self._verify_loop(i, j, float(sc.shift_to_yaw(shift))):
+            return None
+        result = (i, j)
+        self.loops_found.append(result)
+        return result
+
+    def flush(self) -> Optional[tuple]:
+        """Resolve the last keyframe's in-flight loop query (call at the end
+        of a sequence / on shutdown)."""
+        pending, self._pending_sc = self._pending_sc, None
+        result = self._resolve_sc(pending)
+        if result is not None:
+            self.graph = pg.optimize_bucketed(self.graph, self.n_kf)
             self._pending_opt = 0
         return result
 

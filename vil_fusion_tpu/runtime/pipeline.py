@@ -103,6 +103,29 @@ class PipelineOutputs:
     loop_q: list = field(default_factory=list)
     lidar_p: list = field(default_factory=list)
     lidar_q: list = field(default_factory=list)
+    # per-frame attachment to the latest visual-loop keyframe: index into the
+    # keyframe DB plus the frame's pose relative to that keyframe at output
+    # time — lets rebuild_loop_path() rewrite the whole past trajectory from
+    # the optimized 4-DoF graph (pose_graph.cpp updatePath: every keyframe
+    # pose is refreshed after optimize4DoF and intermediate frames ride
+    # their keyframe)
+    anchor_kf: list = field(default_factory=list)
+    anchor_rel: list = field(default_factory=list)  # (R_rel, p_rel) or None
+
+    def rebuild_loop_path(self, db):
+        """Rewrite loop_p/loop_q retroactively from the optimized keyframe
+        poses (reference pose_graph.cpp updatePath). Idempotent: anchor_rel
+        is immutable, db.q/db.p are the current optimized poses."""
+        if db is None or not self.anchor_kf:
+            return
+        for k, (a, rel) in enumerate(zip(self.anchor_kf, self.anchor_rel)):
+            if a < 0 or rel is None:
+                continue
+            R_a = _np_q2R(np.asarray(db.q[a], np.float64))
+            R_rel, p_rel = rel
+            R_k = R_a @ R_rel
+            self.loop_p[k] = R_a @ p_rel + np.asarray(db.p[a], np.float64)
+            self.loop_q[k] = _np_R2q(R_k)
 
     def write(self, out_dir: str, fusion: Optional[gf.GlobalFusion] = None):
         """The reference's three TUM outputs (vins_result_no_loop,
@@ -120,7 +143,7 @@ class PipelineOutputs:
         if fusion is not None and fusion.n_kf:
             q_all, p_all = fusion.poses()
             tum.write_tum(os.path.join(out_dir, "fs_loam_loop.txt"),
-                          list(range(fusion.n_kf)), p_all, q_all)
+                          fusion.kf_ts, p_all, q_all)
 
 
 class VILFusionPipeline:
@@ -387,7 +410,7 @@ class VILFusionPipeline:
         if self.fusion is not None:
             with GLOBAL_TIMERS.timed("global_fusion"):
                 self.fusion.add_frame(q, p, jnp.asarray(pts, jnp.float32),
-                                      jnp.asarray(val))
+                                      jnp.asarray(val), t=t)
         self.outputs.ts.append(t)
         self.outputs.lidar_p.append(np.asarray(p))
         self.outputs.lidar_q.append(np.asarray(q))
@@ -410,8 +433,33 @@ class VILFusionPipeline:
         return None
 
     def finalize(self):
-        """Drain in-flight frames (call once at the end of a replay)."""
-        return self._drain_pending()
+        """Drain in-flight frames + in-flight loop queries (call once at the
+        end of a replay)."""
+        out = self._drain_pending()
+        if self.fusion is not None:
+            self.fusion.flush()
+        # pose_graph.cpp updatePath: rewrite the loop-corrected trajectory
+        # from the optimized 4-DoF graph so corrections reach PAST frames
+        self.outputs.rebuild_loop_path(self.visual_loop)
+        return out
+
+    def _append_loop_output(self, p_est, q_est):
+        """Append the loop-corrected output plus its keyframe attachment
+        (anchor index + relative pose) for retroactive path rebuild."""
+        db = self.visual_loop
+        self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
+        self.outputs.loop_q.append(_np_R2q(self.loop_drift_R @ _np_q2R(q_est)))
+        if db.n > 0:
+            a = db.n - 1
+            R_a = _np_q2R(np.asarray(db.q[a], np.float64))
+            self.outputs.anchor_kf.append(a)
+            self.outputs.anchor_rel.append(
+                (R_a.T @ _np_q2R(np.asarray(q_est, np.float64)),
+                 R_a.T @ (np.asarray(p_est, np.float64)
+                          - np.asarray(db.p[a], np.float64))))
+        else:
+            self.outputs.anchor_kf.append(-1)
+            self.outputs.anchor_rel.append(None)
 
     def _drain_pending(self):
         out = None
@@ -475,6 +523,16 @@ class VILFusionPipeline:
         rec.update(out=out, window=w, feats=self.estimator.feats,
                    hr_ba=w.ba[slot], hr_bg=w.bg[slot],
                    obs_ids=obs["ids"], obs_dep=dep_dev)
+        # start the host copies NOW: by completion time (sync_depth frames
+        # later) the values are already on host, so the per-frame device_get
+        # costs ~0 instead of a full round trip
+        fetch = [out["p"], out["q"], out["v"], out["cost"], out["failed"],
+                 rec["hr_ba"], rec["hr_bg"], rec["obs_ids"], rec["obs_dep"]]
+        if rec["scan"] is not None:
+            fetch += [rec["scan"][0], rec["scan"][1]]
+        for x in fetch:
+            x.copy_to_host_async()
+        rec["fetch"] = fetch
         return rec
 
     def _complete_frame(self, rec):
@@ -482,12 +540,7 @@ class VILFusionPipeline:
         failure handling, global fusion, visual loop closure, outputs."""
         import jax
 
-        out = rec["out"]
-        fetch = [out["p"], out["q"], out["v"], out["cost"], out["failed"],
-                 rec["hr_ba"], rec["hr_bg"], rec["obs_ids"], rec["obs_dep"]]
-        if rec["scan"] is not None:
-            fetch += [rec["scan"][0], rec["scan"][1]]
-        host = jax.device_get(fetch)
+        host = jax.device_get(rec["fetch"])
         p_est = np.asarray(host[0])
         q_est = np.asarray(host[1])
         v_est = np.asarray(host[2])
@@ -510,7 +563,8 @@ class VILFusionPipeline:
             with GLOBAL_TIMERS.timed("global_fusion"):
                 self.fusion.add_frame(np.asarray(host[-2]),
                                       np.asarray(host[-1]),
-                                      rec["scan"][2], rec["scan"][3])
+                                      rec["scan"][2], rec["scan"][3],
+                                      t=rec["t"])
 
         # snapshot was captured pre-drift: apply any loop drift accepted
         # while this frame was in flight
@@ -553,9 +607,7 @@ class VILFusionPipeline:
         self.outputs.vio_p.append(p_est)
         self.outputs.vio_q.append(q_est)
         if self.visual_loop is not None:
-            self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
-            R_c = self.loop_drift_R @ _np_q2R(q_est)
-            self.outputs.loop_q.append(_np_R2q(R_c))
+            self._append_loop_output(p_est, q_est)
         if rec["scan"] is not None:
             self.outputs.lidar_p.append(np.asarray(host[-1]))
             self.outputs.lidar_q.append(np.asarray(host[-2]))
@@ -628,7 +680,7 @@ class VILFusionPipeline:
             if self.fusion is not None:
                 with GLOBAL_TIMERS.timed("global_fusion"):
                     self.fusion.add_frame(lq, lp, jnp.asarray(pts, jnp.float32),
-                                          jnp.asarray(val))
+                                          jnp.asarray(val), t=t)
 
         # 3. IMU segment (full-interval spanning, boundary-sample reuse)
         acc, gyr, dts = self._imu_segment_for_frame(t)
@@ -690,11 +742,7 @@ class VILFusionPipeline:
         self.outputs.vio_p.append(p_est)
         self.outputs.vio_q.append(q_est)
         if self.visual_loop is not None:
-            self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
-            R_c = self.loop_drift_R @ np.asarray(
-                lie.q2R(jnp.asarray(q_est, jnp.float32)))
-            self.outputs.loop_q.append(np.asarray(
-                lie.R2q(jnp.asarray(R_c, jnp.float32))))
+            self._append_loop_output(p_est, q_est)
         self.outputs.lidar_p.append(np.asarray(self.lidar_state.p))
         self.outputs.lidar_q.append(np.asarray(self.lidar_state.q))
         self.last_processed_t = t
