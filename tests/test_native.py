@@ -92,3 +92,66 @@ def test_load_pgm(tmp_path):
     out = native.load_pgm(str(path))
     assert out.shape == (3, 4)
     np.testing.assert_allclose(out, img / 255.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Sensor transport (runtime/transport.py): the ring bus as the deployment
+# data path — reference launch/run_fusion.launch topic wiring, TPU-native.
+# ---------------------------------------------------------------------------
+
+def _example_events():
+    rng = np.random.default_rng(3)
+    evs = []
+    t = 0.0
+    for i in range(40):
+        t += 0.005
+        evs.append(("imu", t, rng.normal(size=3), rng.normal(size=3)))
+        if i % 4 == 0:
+            evs.append(("scan", t, rng.normal(size=(128, 3)).astype(np.float32),
+                        rng.random(128) > 0.1))
+        if i % 4 == 1:
+            img = rng.random((24, 32)).astype(np.float32)
+            if i % 8 == 1:
+                evs.append(("image", t, img, rng.random((24, 32)) > 0.5))
+            else:
+                evs.append(("image", t, img))
+    return evs
+
+
+def test_transport_pack_unpack_roundtrip():
+    from vil_fusion_tpu.runtime import transport
+
+    for ev in _example_events():
+        out = transport.unpack_event(ev[1], transport.pack_event(ev))
+        assert out[0] == ev[0]
+        assert out[1] == ev[1]
+        assert len(out) == len(ev)
+        for a, b in zip(out[2:], ev[2:]):
+            assert np.asarray(a).dtype == np.asarray(b).dtype
+            np.testing.assert_array_equal(a, b)
+
+
+def test_sensor_bus_preserves_order_and_values():
+    from vil_fusion_tpu.runtime import transport
+
+    evs = _example_events()
+    # tiny capacity so producer backpressure (no drop-oldest) is exercised
+    bus = transport.SensorBus(slot_bytes=1 << 16, capacity=4).start(iter(evs))
+    got = list(bus.subscribe())
+    assert bus.topic.dropped() == 0, "replay transport must never drop"
+    assert len(got) == len(evs)
+    for g, e in zip(got, evs):
+        assert g[0] == e[0] and g[1] == e[1]
+        for a, b in zip(g[2:], e[2:]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_transport_propagates_producer_error():
+    from vil_fusion_tpu.runtime import transport
+
+    def bad_iter():
+        yield ("imu", 0.1, np.zeros(3), np.zeros(3))
+        raise IOError("corrupt file")
+
+    with pytest.raises(IOError, match="corrupt file"):
+        list(transport.prefetch(bad_iter()))

@@ -228,8 +228,18 @@ class ADVIO:
                     yield ("image", t, img)
 
 
-def replay(pipeline, events: Iterator[tuple], max_events: Optional[int] = None):
-    """Drive a VILFusionPipeline from an event stream (the rosbag-play loop)."""
+def replay(pipeline, events: Iterator[tuple], max_events: Optional[int] = None,
+           prefetch: bool = True):
+    """Drive a VILFusionPipeline from an event stream (the rosbag-play loop).
+    With `prefetch` (default), dataset decode runs in a producer thread and
+    events arrive through the native ring bus (runtime/transport.py) so disk
+    IO overlaps device compute — the reference's topic transport between its
+    four processes (launch/run_fusion.launch:13-36), TPU-native."""
+    if prefetch:
+        from vil_fusion_tpu.runtime import transport
+
+        events = transport.prefetch(events, max_events=max_events)
+        max_events = None
     n = 0
     for ev in events:
         kind = ev[0]
@@ -243,4 +253,6 @@ def replay(pipeline, events: Iterator[tuple], max_events: Optional[int] = None):
         n += 1
         if max_events and n >= max_events:
             break
+    if hasattr(pipeline, "finalize"):
+        pipeline.finalize()  # drain in-flight frames + loop queries
     return pipeline
