@@ -202,3 +202,28 @@ def optimize(graph: PoseGraph, gn_iters: int = 6, cg_iters: int = 32) -> PoseGra
 
     q, p = jax.lax.fori_loop(0, gn_iters, gn_step, (graph.q, graph.p))
     return graph._replace(q=q, p=p)
+
+
+def optimize_bucketed(graph: PoseGraph, n_active: int,
+                      gn_iters: int = 6, cg_iters: int = 32,
+                      min_bucket: int = 64) -> PoseGraph:
+    """optimize() on the smallest power-of-2 node slice covering the active
+    nodes. The GN/PCG cost is linear in the node CAPACITY (every edge matvec
+    and scatter runs over all N slots), so solving a 50-keyframe graph inside
+    a 2048-slot buffer wastes 40x the work — the direct analog of iSAM2 only
+    touching the affected sub-tree (poseGraphOptimization.cpp isamUpdate
+    :349-374). One compile per bucket size, reused as the graph grows.
+
+    `n_active` is the host-side node count (kept by the caller; reading
+    graph.n_nodes would force a device sync)."""
+    cap = graph.q.shape[0]
+    bucket = min_bucket
+    while bucket < min(n_active, cap):
+        bucket *= 2
+    if bucket >= cap:
+        return optimize(graph, gn_iters, cg_iters)
+    sub = graph._replace(q=graph.q[:bucket], p=graph.p[:bucket],
+                         odo_q=graph.odo_q[:bucket], odo_p=graph.odo_p[:bucket])
+    out = optimize(sub, gn_iters, cg_iters)
+    return graph._replace(q=graph.q.at[:bucket].set(out.q),
+                          p=graph.p.at[:bucket].set(out.p))
