@@ -156,11 +156,17 @@ class LoopTrajectory(_TrajectoryBase):
                          0.012 * np.sin(1.7 * np.asarray(t, np.float64)))
 
 
-def urban_block_scene(radius: float = 12.0) -> RaycastScene:
+def urban_block_scene(radius: float = 12.0,
+                      pillar_step_deg: float = 30.0,
+                      box_step_deg: float = 45.0) -> RaycastScene:
     """Structured world around a circular circuit of the given radius
     (center (0, radius)): pillar rings inside and outside the path, boxes at
     varied bearings (x- and y-facing planes for odometry observability),
-    bounding walls and ground. The 'urban block' replay world."""
+    bounding walls and ground. The 'urban block' replay world.
+
+    For KITTI-scale circuits (radius ~100 m, >=1 km laps) lower the angular
+    steps so structure density along the path stays urban-like
+    (pillar_step_deg ~ 4 keeps inter-pillar spacing ~7 m at r=100)."""
     scene = RaycastScene.__new__(RaycastScene)
     c = np.array([0.0, radius])
     scene.wall_y = 2 * radius + 16.0
@@ -168,11 +174,11 @@ def urban_block_scene(radius: float = 12.0) -> RaycastScene:
     scene.x_lo, scene.x_hi = -(radius + 28.0), radius + 28.0
     scene.pillar_r = 0.3
     scene.pillar_h = 5.0
-    ang = np.deg2rad(np.arange(0, 360, 30))
+    ang = np.deg2rad(np.arange(0, 360, pillar_step_deg))
     inner = c + (radius - 6.0) * np.stack([np.sin(ang), -np.cos(ang)], -1)
     outer = c + (radius + 7.0) * np.stack([np.sin(ang + 0.26), -np.cos(ang + 0.26)], -1)
     scene.pillars = np.concatenate([inner, outer], axis=0)
-    angb = np.deg2rad(np.arange(15, 360, 45))
+    angb = np.deg2rad(np.arange(15, 360, box_step_deg))
     bc = c + (radius + 9.0) * np.stack([np.sin(angb), -np.cos(angb)], -1)
     bi = c + (radius - 8.0) * np.stack([np.sin(angb + 0.4), -np.cos(angb + 0.4)], -1)
     boxes = [[x, y, 1.2, 0.9, 2.5] for x, y in bc] + \
