@@ -110,7 +110,8 @@ class GlobalFusion:
         self.last_p = None
         self.loops_found = []  # (i, j) pairs accepted
         self._pending_opt = 0
-        self._pending_sc = None  # in-flight loop query (async host copy)
+        self._pending_sc = []  # in-flight loop queries (async host copies)
+        self._pending_icp = []  # in-flight ICP verifications
 
     # ------------------------------------------------------------------
     def is_keyframe(self, q, p) -> bool:
@@ -164,15 +165,19 @@ class GlobalFusion:
         self.cloud_valid = self.cloud_valid.at[i].set(sel[1])
         self.n_kf += 1
 
-        # start the host copy of this keyframe's loop query NOW and resolve
-        # it at the NEXT keyframe — the reference's loopDetection/ICP workers
-        # are equally asynchronous to graph building (1 Hz threads,
-        # poseGraphOptimization.cpp:669-675); a synchronous float(dist) here
-        # would stall the whole dispatch queue every keyframe
+        # start the host copy of this keyframe's loop query NOW; resolve
+        # queries only once their copies have actually landed (is_ready) —
+        # the reference's loopDetection/ICP workers are equally asynchronous
+        # to graph building (1 Hz threads, poseGraphOptimization.cpp:669-675).
+        # Blocking here, even one keyframe late, drains the whole dispatch
+        # queue and leaves the device idle while the host refills it — a
+        # pipeline bubble per keyframe that cost ~40% of deployment fps.
         for x in (cand, dist, shift):
             x.copy_to_host_async()
-        pending, self._pending_sc = self._pending_sc, (i, cand, dist, shift)
-        result = self._resolve_sc(pending)
+        self._pending_sc.append((i, cand, dist, shift))
+        res_icp = self._poll_icp()
+        res_sc = self._poll_sc()
+        result = res_sc if res_sc is not None else res_icp
 
         self._pending_opt += 1
         # relaxation is a no-op until the first loop edge exists: nodes are
@@ -185,26 +190,38 @@ class GlobalFusion:
             self._pending_opt = 0
         return result
 
+    def _poll_sc(self, block: bool = False) -> Optional[tuple]:
+        """Resolve every queued loop query whose host copy has landed
+        (never blocks unless `block`). Returns the last accepted loop."""
+        result = None
+        while self._pending_sc:
+            if not block and not self._pending_sc[0][2].is_ready():
+                break
+            r = self._resolve_sc(self._pending_sc.pop(0))
+            result = r if r is not None else result
+        return result
+
     def _resolve_sc(self, pending) -> Optional[tuple]:
-        """Evaluate a previously-dispatched ScanContext loop query (its host
-        copy has been in flight since the keyframe was inserted)."""
-        if pending is None:
-            return None
+        """Evaluate a completed ScanContext loop query: gate on distance and
+        dispatch the ICP verification (resolved by _poll_icp when its
+        fitness copy lands — icpCalculation is its own worker thread in the
+        reference, :376-444)."""
         i, cand, dist, shift = pending
         if float(dist) >= self.cfg.sc_dist_thres:
             return None
         j = int(cand)
-        if not self._verify_loop(i, j, float(sc.shift_to_yaw(shift))):
-            return None
-        result = (i, j)
-        self.loops_found.append(result)
-        return result
+        # host-side yaw seed: shift * 2pi/N_SECTOR (sc.shift_to_yaw semantics
+        # without dispatching a device op on the already-copied scalar)
+        yaw0 = float(int(shift)) * (2.0 * np.pi / sc.N_SECTOR)
+        self._dispatch_icp(i, j, yaw0)
+        return self._poll_icp()
 
     def flush(self) -> Optional[tuple]:
-        """Resolve the last keyframe's in-flight loop query (call at the end
-        of a sequence / on shutdown)."""
-        pending, self._pending_sc = self._pending_sc, None
-        result = self._resolve_sc(pending)
+        """Resolve ALL in-flight loop queries + ICP verifications (call at
+        the end of a sequence / on shutdown)."""
+        res_sc = self._poll_sc(block=True)
+        res_icp = self._poll_icp(block=True)
+        result = res_icp if res_icp is not None else res_sc
         if result is not None:
             self.graph = pg.optimize_bucketed(self.graph, self.n_kf)
             self._pending_opt = 0
@@ -215,10 +232,11 @@ class GlobalFusion:
         idx = jnp.linspace(0, pts.shape[0] - 1, cap).astype(jnp.int32)
         return pts[idx], val[idx]
 
-    def _verify_loop(self, i: int, j: int, yaw0: float) -> bool:
-        """ICP current keyframe vs +-submap_half_span submap around j
-        (icpCalculation :376-444); accept on fitness, add robust loop edge.
-        One fused device dispatch (submap assembly vmapped inside)."""
+    def _dispatch_icp(self, i: int, j: int, yaw0: float) -> None:
+        """Dispatch ICP of keyframe i vs the +-submap_half_span submap around
+        j (icpCalculation :376-444) in ONE device program (submap assembly
+        vmapped inside); the fitness verdict is read by _poll_icp once its
+        async host copy lands."""
         cfg = self.cfg
         # fixed-size submap (static shapes): clamped index span around j
         ks = np.clip(np.arange(j - cfg.submap_half_span,
@@ -229,10 +247,24 @@ class GlobalFusion:
             self.graph.q, self.graph.p, self.clouds, self.cloud_valid,
             jnp.asarray(ks, jnp.int32), jnp.asarray(dup),
             jnp.int32(i), jnp.int32(j), jnp.asarray(yaw0, self.dtype))
-        if not np.isfinite(float(fitness)) or float(fitness) > cfg.icp_fitness_max:
-            return False
-        self.graph = pg.add_loop(self.graph, jnp.int32(j), jnp.int32(i), q_fit, p_fit)
-        return True
+        fitness.copy_to_host_async()
+        self._pending_icp.append((i, j, q_fit, p_fit, fitness))
+
+    def _poll_icp(self, block: bool = False) -> Optional[tuple]:
+        """Accept every completed ICP verification whose fitness passes
+        (never blocks unless `block`). Returns the last accepted loop."""
+        result = None
+        while self._pending_icp:
+            if not block and not self._pending_icp[0][4].is_ready():
+                break
+            i, j, q_fit, p_fit, fitness = self._pending_icp.pop(0)
+            f = float(fitness)
+            if np.isfinite(f) and f <= self.cfg.icp_fitness_max:
+                self.graph = pg.add_loop(self.graph, jnp.int32(j),
+                                         jnp.int32(i), q_fit, p_fit)
+                result = (i, j)
+                self.loops_found.append(result)
+        return result
 
     # ------------------------------------------------------------------
     def poses(self):
