@@ -128,31 +128,39 @@ class GlobalFusion:
                   t: Optional[float] = None) -> Optional[tuple]:
         """Feed one odometry pose + body-frame scan. Returns (i, j) if a loop
         was accepted this keyframe, else None. Non-keyframes are ignored
-        (the gate :518-538)."""
-        q_odom = jnp.asarray(q_odom, self.dtype)
-        p_odom = jnp.asarray(p_odom, self.dtype)
-        if not self.is_keyframe(q_odom, p_odom):
+        (the gate :518-538).
+
+        Poses normalize to HOST numpy exactly once: the gate and the
+        keyframe bookkeeping are host math, and every extra np.asarray on a
+        device array is a full tunnel round trip (~40 ms measured) — the
+        old device-first flow paid up to six per keyframe and two per
+        non-keyframe, dominating deployed frame cost."""
+        q_np = np.asarray(q_odom, np.float32)
+        p_np = np.asarray(p_odom, np.float32)
+        if not self.is_keyframe(q_np, p_np):
             return None
-        self.last_q = np.asarray(q_odom)
-        self.last_p = np.asarray(p_odom)
+        self.last_q = q_np
+        self.last_p = p_np
         cfg = self.cfg
         i = self.n_kf
         if i >= cfg.node_capacity:
             return None  # graph full
 
+        q_dev = jnp.asarray(q_np, self.dtype)
+        p_dev = jnp.asarray(p_np, self.dtype)
         # odometry edge from previous keyframe
         if i == 0:
             q_rel = jnp.array([1.0, 0, 0, 0], self.dtype)
             p_rel = jnp.zeros(3, self.dtype)
-            q_abs, p_abs = q_odom, p_odom
+            q_abs, p_abs = q_dev, p_dev
         else:
             q_rel, p_rel, q_abs, p_abs = _node_glue(
                 jnp.asarray(self.kf_q_odom[-1], self.dtype),
                 jnp.asarray(self.kf_p_odom[-1], self.dtype),
-                q_odom, p_odom, self.graph.q[i - 1], self.graph.p[i - 1])
+                q_dev, p_dev, self.graph.q[i - 1], self.graph.p[i - 1])
         self.graph = pg.add_node(self.graph, q_abs, p_abs, q_rel, p_rel)
-        self.kf_q_odom.append(np.asarray(q_odom))
-        self.kf_p_odom.append(np.asarray(p_odom))
+        self.kf_q_odom.append(q_np)
+        self.kf_p_odom.append(p_np)
         self.kf_ts.append(float(t) if t is not None else float(i))
 
         # store downsampled cloud + descriptor + loop query — one fused
