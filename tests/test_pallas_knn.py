@@ -97,3 +97,26 @@ def test_pallas_knn_few_valid():
     finite = np.isfinite(np.asarray(d))
     assert (finite.sum(1) == 2).all()
     assert set(np.asarray(i)[0, :2].tolist()) == {5, 17}
+
+
+def test_pallas_knn_packed_merge_matches():
+    """Packed-key merge: indices must match the exact path wherever the
+    k-th distance is unambiguous at the 2^-12 quantization; distances agree
+    to the quantization tolerance."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.uniform(-20, 20, (256, 3)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-20, 20, (2000, 3)), jnp.float32)
+    valid = jnp.asarray(rng.random(2000) > 0.1)
+    d_ref, i_ref = knn_pallas(q, db, valid, k=5, q_tile=128, db_tile=512,
+                              interpret=True)
+    d_pk, i_pk = knn_pallas(q, db, valid, k=5, q_tile=128, db_tile=512,
+                            interpret=True, packed=True)
+    d_ref = np.asarray(d_ref)
+    d_pk = np.asarray(d_pk)
+    np.testing.assert_allclose(d_pk, d_ref, rtol=3e-4, atol=1e-5)
+    # where the margin between consecutive neighbours exceeds quantization,
+    # the selected indices are identical
+    margin_ok = np.all(np.diff(d_ref, axis=1) > d_ref[:, -1:] * 1e-3, axis=1)
+    assert margin_ok.sum() > 150
+    np.testing.assert_array_equal(np.asarray(i_pk)[margin_ok],
+                                  np.asarray(i_ref)[margin_ok])

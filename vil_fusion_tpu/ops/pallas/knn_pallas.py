@@ -26,7 +26,7 @@ _INF = 3.4e38  # python float: a jnp constant would be captured as a tracer
 
 
 def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
-                best_d, best_i, *, k: int, db_tile: int):
+                best_d, best_i, *, k: int, db_tile: int, packed: bool):
     dj = pl.program_id(1)
     n_db = pl.num_programs(1)
 
@@ -47,29 +47,61 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
     dist = jnp.where(v > 0.5, dist, _INF)
 
     base = dj * db_tile
-    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + base
-
-    # merge k best from this tile into the running best
     bd = best_d[:]  # (QT, k)
     bi = best_i[:]
-    for _ in range(k):
-        m = jnp.min(dist, axis=1, keepdims=True)  # (QT, 1)
-        amin = jnp.argmin(dist, axis=1)  # (QT,)
-        gidx = base + amin.astype(jnp.int32)
-        # current worst of the running best
-        worst = jnp.max(bd, axis=1, keepdims=True)
-        take = m < worst  # (QT, 1)
-        # replace the (first) worst slot where we take; tie-break by smallest
-        # slot index (iota+min — Mosaic has no cumsum)
-        is_worst = bd == worst  # (QT, k)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
-        worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1, keepdims=True)
-        repl = (slot_ids == worst_slot) & take
-        bd = jnp.where(repl, m, bd)
-        bi = jnp.where(repl, gidx[:, None], bi)
-        # mask the extracted element out of the tile block
-        hit = col == gidx[:, None]
-        dist = jnp.where(hit, _INF, dist)
+
+    if packed:
+        # pack (distance, local column) into ONE int32 key: nonnegative f32
+        # bit patterns are monotone as ints, so stealing the low idx_bits of
+        # mantissa keeps ordering at 2^-idx_bits relative quantization while
+        # making every key unique. Each merge round is then a single min
+        # reduction (vs min + argmin + eq-mask on the unpacked path) — the
+        # k-round merge dominates the kernel, so this trades ~0.02% distance
+        # resolution (selection only; callers gate on d2 < radius^2) for a
+        # large cut in VPU reduction passes.
+        idx_bits = max(1, (db_tile - 1).bit_length())
+        mask = jnp.int32(~((1 << idx_bits) - 1))
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        # round-to-nearest on the stolen bits halves the quantization error
+        half = jnp.int32(1 << (idx_bits - 1))
+        dbits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+        key = ((dbits + half) & mask) | col
+        key = jnp.where(dist >= _INF, jnp.int32(0x7F7FFFFF), key)
+        for _ in range(k):
+            m = jnp.min(key, axis=1, keepdims=True)  # (QT, 1) packed
+            mval = jax.lax.bitcast_convert_type(m & mask, jnp.float32)
+            gidx = base + (m & ~mask)
+            worst = jnp.max(bd, axis=1, keepdims=True)
+            take = mval < worst
+            is_worst = bd == worst
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+            worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1,
+                                 keepdims=True)
+            repl = (slot_ids == worst_slot) & take
+            bd = jnp.where(repl, mval, bd)
+            bi = jnp.where(repl, gidx, bi)
+            key = jnp.where(key == m, jnp.int32(0x7F7FFFFF), key)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + base
+        # merge k best from this tile into the running best
+        for _ in range(k):
+            m = jnp.min(dist, axis=1, keepdims=True)  # (QT, 1)
+            amin = jnp.argmin(dist, axis=1)  # (QT,)
+            gidx = base + amin.astype(jnp.int32)
+            # current worst of the running best
+            worst = jnp.max(bd, axis=1, keepdims=True)
+            take = m < worst  # (QT, 1)
+            # replace the (first) worst slot where we take; tie-break by
+            # smallest slot index (iota+min — Mosaic has no cumsum)
+            is_worst = bd == worst  # (QT, k)
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+            worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1, keepdims=True)
+            repl = (slot_ids == worst_slot) & take
+            bd = jnp.where(repl, m, bd)
+            bi = jnp.where(repl, gidx[:, None], bi)
+            # mask the extracted element out of the tile block
+            hit = col == gidx[:, None]
+            dist = jnp.where(hit, _INF, dist)
     best_d[:] = bd
     best_i[:] = bi
     # write the running best every step: the output block is revisited for
@@ -80,10 +112,16 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
     out_i_ref[:] = bi
 
 
-@functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile",
+                                              "interpret", "packed"))
 def knn_pallas(queries, database, db_valid, k: int = 5,
-               q_tile: int = 512, db_tile: int = 4096, interpret: bool = False):
-    """Drop-in for ops.knn.knn on TPU. queries (Nq, 3), database (Nd, 3)."""
+               q_tile: int = 512, db_tile: int = 4096, interpret: bool = False,
+               packed: bool = False):
+    """Drop-in for ops.knn.knn on TPU. queries (Nq, 3), database (Nd, 3).
+
+    packed=True selects the packed-key top-k merge: ~0.02% distance
+    quantization (indices exact) for fewer VPU reduction passes per tile —
+    see _knn_kernel."""
     nq, _ = queries.shape
     nd = database.shape[0]
     pad_q = (-nq) % q_tile
@@ -94,7 +132,7 @@ def knn_pallas(queries, database, db_valid, k: int = 5,
 
     grid = (q.shape[0] // q_tile, db.shape[0] // db_tile)
     out_d, out_i = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, db_tile=db_tile),
+        functools.partial(_knn_kernel, k=k, db_tile=db_tile, packed=packed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, 4), lambda i, j: (i, 0),

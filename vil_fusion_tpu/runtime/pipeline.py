@@ -244,6 +244,27 @@ class VILFusionPipeline:
             self.loop_drift_R = np.eye(3, dtype=np.float32)
             self.loop_drift_t = np.zeros(3, np.float32)
             self._last_kf_p = None
+            # worker thread: the reference runs visual loop closure as its
+            # own PROCESS (sensor_fusion_pose_graph; pose_graph_node.cpp
+            # process() thread) — keyframe BRIEF extraction, BoW query, PnP
+            # verification and the 4-DoF solve all happen off the odometry
+            # path, with relocalization results fed back asynchronously
+            # (setReloFrame). Same architecture here: jobs carry the frame
+            # snapshot, the worker's blocking device reads release the GIL,
+            # and accepted drifts apply at the next completed frame.
+            import queue as _queue
+            import threading as _threading
+
+            self._vl_lock = _threading.Lock()
+            self._vl_jobs: Optional[_queue.Queue] = None
+            self._vl_results = _queue.Queue()
+            self._vl_idle = _threading.Event()
+            self._vl_idle.set()
+            if sync_depth > 0:
+                self._vl_jobs = _queue.Queue()
+                t = _threading.Thread(target=self._vl_worker, daemon=True,
+                                      name="visual-loop-worker")
+                t.start()
 
         # host-side queues ("topics")
         self.imu_buf: list = []  # (t, acc, gyr)
@@ -433,11 +454,18 @@ class VILFusionPipeline:
         return None
 
     def finalize(self):
-        """Drain in-flight frames + in-flight loop queries (call once at the
-        end of a replay)."""
+        """Drain in-flight frames, the visual-loop worker, and in-flight
+        loop queries (call once at the end of a replay)."""
         out = self._drain_pending()
         if self.fusion is not None:
             self.fusion.flush()
+        if self.visual_loop is not None and self._vl_jobs is not None:
+            # wait for the worker to go idle, then apply any accepted drift
+            # to the estimator (outputs are rewritten below)
+            self._vl_idle.wait(timeout=120.0)
+            while not self._vl_results.empty():
+                self._apply_reloc_drift(self._vl_results.get(),
+                                        np.zeros(3), np.array([1.0, 0, 0, 0]))
         # pose_graph.cpp updatePath: rewrite the loop-corrected trajectory
         # from the optimized 4-DoF graph so corrections reach PAST frames
         self.outputs.rebuild_loop_path(self.visual_loop)
@@ -449,14 +477,18 @@ class VILFusionPipeline:
         db = self.visual_loop
         self.outputs.loop_p.append(self.loop_drift_R @ p_est + self.loop_drift_t)
         self.outputs.loop_q.append(_np_R2q(self.loop_drift_R @ _np_q2R(q_est)))
-        if db.n > 0:
-            a = db.n - 1
-            R_a = _np_q2R(np.asarray(db.q[a], np.float64))
+        with self._vl_lock:  # db.q/db.p may be mid-rewrite in the worker
+            n = db.n
+            if n > 0:
+                a = n - 1
+                q_a = np.asarray(db.q[a], np.float64).copy()
+                p_a = np.asarray(db.p[a], np.float64).copy()
+        if n > 0:
+            R_a = _np_q2R(q_a)
             self.outputs.anchor_kf.append(a)
             self.outputs.anchor_rel.append(
                 (R_a.T @ _np_q2R(np.asarray(q_est, np.float64)),
-                 R_a.T @ (np.asarray(p_est, np.float64)
-                          - np.asarray(db.p[a], np.float64))))
+                 R_a.T @ (np.asarray(p_est, np.float64) - p_a)))
         else:
             self.outputs.anchor_kf.append(-1)
             self.outputs.anchor_rel.append(None)
@@ -576,32 +608,32 @@ class VILFusionPipeline:
 
         if (self.visual_loop is not None and live
                 and self.estimator.initialized and not self.estimator.failed):
-            drift = self._visual_loop_step(
-                rec["img"], p_est, q_est,
-                window=rec["window"], feats=rec["feats"],
-                pre_drift=(rec["drift_R"], rec["drift_t"]),
-                fresh=(np.asarray(host[7]), np.asarray(host[8])))
-            if drift is not None:
-                # relocalization feedback (setReloFrame :1188-1206 + relo
-                # factors :799-836): re-anchor the VIO window + in-flight
-                # snapshots into the loop-corrected frame
-                R_d, t_d = drift
-                self.estimator.apply_drift(R_d, t_d)
-                p_est = R_d @ p_est + t_d
-                q_est = _np_R2q(R_d @ _np_q2R(q_est))
-                for pr in self._pending:
-                    if pr["drift_R"] is None:
-                        pr["drift_R"], pr["drift_t"] = R_d.copy(), t_d.copy()
-                    else:
-                        pr["drift_R"] = R_d @ pr["drift_R"]
-                        pr["drift_t"] = R_d @ pr["drift_t"] + t_d
-                hr = getattr(self, "_hr", None)
-                if hr is not None:
-                    hr["p"] = R_d @ hr["p"] + t_d
-                    hr["q"] = _np_R2q(R_d @ _np_q2R(hr["q"]))
-                    hr["v"] = R_d @ hr["v"]
-                if self._last_kf_p is not None:
-                    self._last_kf_p = R_d @ self._last_kf_p + t_d
+            # apply any drift the worker accepted while frames were in flight
+            p_est, q_est = self._drain_vl_results(p_est, q_est)
+            if self._vl_jobs is not None:
+                # threaded path: gate on the main thread (host floats only),
+                # enqueue at most one job at a time — the reference's
+                # process() thread likewise consumes keyframes serially and
+                # skips while busy (keyframe_buf drop-to-newest)
+                gap = self.visual_loop.cfg.keyframe_gap
+                if (self._vl_idle.is_set() and self._vl_jobs.empty()
+                        and (self._last_kf_p is None
+                             or np.linalg.norm(p_est - self._last_kf_p) >= gap)):
+                    self._vl_idle.clear()
+                    self._vl_jobs.put(dict(
+                        img=rec["img"], p_est=p_est, q_est=q_est,
+                        window=rec["window"], feats=rec["feats"],
+                        pre_drift=(rec["drift_R"], rec["drift_t"]),
+                        fresh=(np.asarray(host[7]), np.asarray(host[8]))))
+                    self._last_kf_p = np.asarray(p_est)
+            else:
+                drift = self._visual_loop_step(
+                    rec["img"], p_est, q_est,
+                    window=rec["window"], feats=rec["feats"],
+                    pre_drift=(rec["drift_R"], rec["drift_t"]),
+                    fresh=(np.asarray(host[7]), np.asarray(host[8])))
+                if drift is not None:
+                    p_est, q_est = self._apply_reloc_drift(drift, p_est, q_est)
 
         self.outputs.ts.append(rec["t"])
         self.outputs.vio_p.append(p_est)
@@ -748,8 +780,60 @@ class VILFusionPipeline:
         self.last_processed_t = t
         return p_est, q_est
 
+    def _vl_worker(self):
+        """Visual-loop worker loop (the pose_graph node's process() thread).
+        Blocking device reads inside _visual_loop_step release the GIL, so
+        the odometry path keeps dispatching while loops verify."""
+        while True:
+            job = self._vl_jobs.get()
+            try:
+                drift = self._visual_loop_step(
+                    job["img"], job["p_est"], job["q_est"],
+                    window=job["window"], feats=job["feats"],
+                    pre_drift=job["pre_drift"], fresh=job["fresh"],
+                    gate=False)
+                if drift is not None:
+                    self._vl_results.put(drift)
+            except Exception as e:  # never kill the pipeline from the worker
+                import traceback
+
+                traceback.print_exc()
+                print(f"visual-loop worker error (continuing): {e}")
+            finally:
+                self._vl_idle.set()
+
+    def _drain_vl_results(self, p_est, q_est):
+        """Apply every drift the worker produced since the last frame."""
+        while not self._vl_results.empty():
+            p_est, q_est = self._apply_reloc_drift(
+                self._vl_results.get(), p_est, q_est)
+        return p_est, q_est
+
+    def _apply_reloc_drift(self, drift, p_est, q_est):
+        """Relocalization feedback (setReloFrame :1188-1206 + relo factors
+        :799-836): re-anchor the VIO window, the high-rate propagator, and
+        every in-flight snapshot into the loop-corrected frame."""
+        R_d, t_d = drift
+        self.estimator.apply_drift(R_d, t_d)
+        p_est = R_d @ p_est + t_d
+        q_est = _np_R2q(R_d @ _np_q2R(q_est))
+        for pr in self._pending:
+            if pr["drift_R"] is None:
+                pr["drift_R"], pr["drift_t"] = R_d.copy(), t_d.copy()
+            else:
+                pr["drift_R"] = R_d @ pr["drift_R"]
+                pr["drift_t"] = R_d @ pr["drift_t"] + t_d
+        hr = getattr(self, "_hr", None)
+        if hr is not None:
+            hr["p"] = R_d @ hr["p"] + t_d
+            hr["q"] = _np_R2q(R_d @ _np_q2R(hr["q"]))
+            hr["v"] = R_d @ hr["v"]
+        if self._last_kf_p is not None:
+            self._last_kf_p = R_d @ self._last_kf_p + t_d
+        return p_est, q_est
+
     def _visual_loop_step(self, img, p_est, q_est, window=None, feats=None,
-                          pre_drift=(None, None), fresh=None):
+                          pre_drift=(None, None), fresh=None, gate=True):
         """Keyframe insert (gated) + detection + verification + 4-DoF drift
         update (pose_graph node process() + optimize4DoF rebuild).
 
@@ -762,7 +846,8 @@ class VILFusionPipeline:
         Returns None, or the accepted loop's (R_d, t_d) yaw+translation drift
         for relocalization feedback into the estimator window."""
         gap = self.visual_loop.cfg.keyframe_gap  # SKIP_DIS analog, configurable
-        if self._last_kf_p is not None and np.linalg.norm(p_est - self._last_kf_p) < gap:
+        if gate and self._last_kf_p is not None and np.linalg.norm(
+                p_est - self._last_kf_p) < gap:
             return None
         est = self.estimator
         if window is None:
@@ -813,23 +898,27 @@ class VILFusionPipeline:
                                 sequence=getattr(self, "sequence", 0))
         if i_cur is None:
             return None  # keyframe DB full
-        self._last_kf_p = np.asarray(p_est)  # gate only on successful insert
+        if gate:
+            self._last_kf_p = np.asarray(p_est)  # gate on successful insert
         hit = db.detect_and_verify(i_cur)
         if hit is None:
             return None
         cand, q_rel, p_rel = hit
         graph_before = db.graph
-        db.close_loop(i_cur, cand, q_rel, p_rel)
-        # drift: corrected keyframe pose vs VIO keyframe pose (:552-574);
-        # pull optimized poses back into the keyframe store (updatePath)
-        from vil_fusion_tpu.models import posegraph4dof as pg4
+        # db pose mutations under the lock: the odometry thread reads
+        # db.q/db.p for per-frame keyframe anchors (_append_loop_output)
+        with self._vl_lock:
+            db.close_loop(i_cur, cand, q_rel, p_rel)
+            # drift: corrected keyframe pose vs VIO keyframe pose (:552-574)
+            from vil_fusion_tpu.models import posegraph4dof as pg4
 
-        dyaw, R_d, t_d = pg4.drift_transform(graph_before, db.graph, i_cur)
-        # move the insert-time (VIO-frame) records into the corrected frame
-        # (the estimator is about to be re-anchored by the same transform),
-        # then pull optimized poses back into the keyframe store (updatePath)
-        db.apply_drift_to_vio(np.asarray(R_d), float(dyaw), np.asarray(t_d))
-        db.sync_from_graph()
+            dyaw, R_d, t_d = pg4.drift_transform(graph_before, db.graph, i_cur)
+            # move the insert-time (VIO-frame) records into the corrected
+            # frame (the estimator is about to be re-anchored by the same
+            # transform), then pull optimized poses back into the keyframe
+            # store (updatePath)
+            db.apply_drift_to_vio(np.asarray(R_d), float(dyaw), np.asarray(t_d))
+            db.sync_from_graph()
         # with relocalization feedback the window itself is re-anchored, so
         # no residual display drift remains (the reference instead keeps the
         # VIO in its own frame and applies this to outputs, :552-574)
