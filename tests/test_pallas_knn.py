@@ -120,3 +120,27 @@ def test_pallas_knn_packed_merge_matches():
     assert margin_ok.sum() > 150
     np.testing.assert_array_equal(np.asarray(i_pk)[margin_ok],
                                   np.asarray(i_ref)[margin_ok])
+
+
+def test_pallas_knn_sparse_packed_merge_matches():
+    rng = np.random.default_rng(13)
+    centers = rng.uniform(-40, 40, (15, 3))
+    db = jnp.asarray((centers[rng.integers(0, 15, 2000)]
+                      + rng.normal(0, 2.0, (2000, 3))).astype(np.float32))
+    q = jnp.asarray((centers[rng.integers(0, 15, 256)]
+                     + rng.normal(0, 2.0, (256, 3))).astype(np.float32))
+    valid = jnp.asarray(rng.random(2000) > 0.1)
+    d_ref, i_ref = knn_pallas_sparse(q, db, valid, k=5, radius=3.0,
+                                     q_tile=64, db_tile=256, interpret=True)
+    d_pk, i_pk = knn_pallas_sparse(q, db, valid, k=5, radius=3.0,
+                                   q_tile=64, db_tile=256, interpret=True,
+                                   packed=True)
+    d_ref = np.asarray(d_ref); d_pk = np.asarray(d_pk)
+    gate = d_ref[:, -1] < 9.0
+    assert gate.sum() > 50
+    np.testing.assert_allclose(d_pk[gate], d_ref[gate], rtol=3e-4, atol=1e-5)
+    margin_ok = gate & np.all(
+        np.diff(d_ref, axis=1) > np.maximum(d_ref[:, -1:], 1.0) * 1e-3, axis=1)
+    assert margin_ok.sum() > 30
+    np.testing.assert_array_equal(np.asarray(i_pk)[margin_ok],
+                                  np.asarray(i_ref)[margin_ok])

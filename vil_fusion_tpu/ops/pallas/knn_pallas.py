@@ -186,7 +186,8 @@ def _morton_keys(pts, origin, cell: float):
 
 def _sparse_knn_kernel(qlo_ref, qhi_ref, dlo_ref, dhi_ref,
                        qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
-                       best_d, best_i, *, k: int, db_tile: int, radius2: float):
+                       best_d, best_i, *, k: int, db_tile: int,
+                       radius2: float, packed: bool):
     qi = pl.program_id(0)
     dj = pl.program_id(1)
 
@@ -218,23 +219,46 @@ def _sparse_knn_kernel(qlo_ref, qhi_ref, dlo_ref, dhi_ref,
         dist = jnp.where(v > 0.5, dist, _INF)
 
         base = dj * db_tile
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + base
         bd = best_d[:]
         bi = best_i[:]
-        for _ in range(k):
-            m = jnp.min(dist, axis=1, keepdims=True)
-            amin = jnp.argmin(dist, axis=1)
-            gidx = base + amin.astype(jnp.int32)
-            worst = jnp.max(bd, axis=1, keepdims=True)
-            take = m < worst
-            is_worst = bd == worst
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
-            worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1, keepdims=True)
-            repl = (slot_ids == worst_slot) & take
-            bd = jnp.where(repl, m, bd)
-            bi = jnp.where(repl, gidx[:, None], bi)
-            hit = col == gidx[:, None]
-            dist = jnp.where(hit, _INF, dist)
+        if packed:  # packed-key merge (see _knn_kernel)
+            idx_bits = max(1, (db_tile - 1).bit_length())
+            mask = jnp.int32(~((1 << idx_bits) - 1))
+            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            half = jnp.int32(1 << (idx_bits - 1))
+            dbits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+            key = ((dbits + half) & mask) | col
+            key = jnp.where(dist >= _INF, jnp.int32(0x7F7FFFFF), key)
+            for _ in range(k):
+                m = jnp.min(key, axis=1, keepdims=True)
+                mval = jax.lax.bitcast_convert_type(m & mask, jnp.float32)
+                gidx = base + (m & ~mask)
+                worst = jnp.max(bd, axis=1, keepdims=True)
+                take = mval < worst
+                is_worst = bd == worst
+                slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+                worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k),
+                                     axis=1, keepdims=True)
+                repl = (slot_ids == worst_slot) & take
+                bd = jnp.where(repl, mval, bd)
+                bi = jnp.where(repl, gidx, bi)
+                key = jnp.where(key == m, jnp.int32(0x7F7FFFFF), key)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + base
+            for _ in range(k):
+                m = jnp.min(dist, axis=1, keepdims=True)
+                amin = jnp.argmin(dist, axis=1)
+                gidx = base + amin.astype(jnp.int32)
+                worst = jnp.max(bd, axis=1, keepdims=True)
+                take = m < worst
+                is_worst = bd == worst
+                slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+                worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1, keepdims=True)
+                repl = (slot_ids == worst_slot) & take
+                bd = jnp.where(repl, m, bd)
+                bi = jnp.where(repl, gidx[:, None], bi)
+                hit = col == gidx[:, None]
+                dist = jnp.where(hit, _INF, dist)
         best_d[:] = bd
         best_i[:] = bi
     # unconditional flush (see _knn_kernel): the output block is revisited
@@ -270,12 +294,12 @@ def morton_sort(pts, valid=None, cell: float = 2.0):
 
 @functools.partial(jax.jit, static_argnames=("k", "radius", "q_tile", "db_tile",
                                              "cell", "q_sorted", "db_sorted",
-                                             "interpret"))
+                                             "interpret", "packed"))
 def knn_pallas_sparse(queries, database, db_valid, k: int = 5,
                       radius: float = 3.0, q_tile: int = 512,
                       db_tile: int = 1024, cell: float = 2.0,
                       q_sorted: bool = False, db_sorted: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, packed: bool = False):
     """kNN exact for all neighbours within `radius` (farther neighbours may be
     replaced by _INF/garbage — callers MUST gate on d2 < radius^2, which the
     LOAM correspondence builders do via max_corr_dist).
@@ -325,7 +349,7 @@ def knn_pallas_sparse(queries, database, db_valid, k: int = 5,
     grid = (qs.shape[0] // q_tile, dbs.shape[0] // db_tile)
     out_d, out_i = pl.pallas_call(
         functools.partial(_sparse_knn_kernel, k=k, db_tile=db_tile,
-                          radius2=float(radius) ** 2),
+                          radius2=float(radius) ** 2, packed=packed),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
