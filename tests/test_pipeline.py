@@ -307,3 +307,25 @@ def test_mask_variant_rejects_dynamic_object(tmp_path):
         assert inside.sum() <= 2, f"frame {i}: {inside.sum()} features on dynamic object"
     assert pipe.restarts == 0
     assert max(errs) < 0.5, errs
+
+
+def test_stale_visual_loop_drift_dropped_after_restart():
+    """A relocalization drift computed against a pre-restart estimator must
+    not re-anchor the rebooted window (the reference's clearState drops the
+    relo buffer the same way)."""
+    rig = make_rig(use_lidar=False)
+    pipe = VILFusionPipeline(rig, mode="vio", visual_loop=True, sync_depth=2)
+    stale = (np.eye(3) * -1.0, np.array([100.0, 0, 0]))  # obviously wrong
+    pipe._vl_results.put((pipe._gen, stale))
+    pipe._gen += 1  # as _restart() does
+    p0 = np.zeros(3)
+    q0 = np.array([1.0, 0, 0, 0])
+    p_out, q_out = pipe._drain_vl_results(p0, q0)
+    np.testing.assert_array_equal(p_out, p0)
+    np.testing.assert_array_equal(q_out, q0)
+    # a current-generation drift IS applied
+    R_d = np.eye(3)
+    t_d = np.array([1.0, 2.0, 3.0])
+    pipe._vl_results.put((pipe._gen, (R_d, t_d)))
+    p_out, q_out = pipe._drain_vl_results(p0, q0)
+    np.testing.assert_allclose(p_out, t_d)

@@ -367,6 +367,13 @@ class VILFusionPipeline:
         self.restarts += 1
         self._gen += 1  # in-flight frames of the failed estimator are stale
         self.sequence = getattr(self, "sequence", 0) + 1  # new_sequence()
+        # drop loop drifts computed against the failed estimator's frame:
+        # applying them to the rebooted window would re-anchor fresh state
+        # by a stale transform (the reference's restart likewise clears the
+        # relo buffer via clearState)
+        if self.visual_loop is not None:
+            while not self._vl_results.empty():
+                self._vl_results.get()
 
     def _pop_imu_until(self, t):
         seg = [s for s in self.imu_buf if s[0] <= t + 1e-9]
@@ -464,8 +471,10 @@ class VILFusionPipeline:
             # to the estimator (outputs are rewritten below)
             self._vl_idle.wait(timeout=120.0)
             while not self._vl_results.empty():
-                self._apply_reloc_drift(self._vl_results.get(),
-                                        np.zeros(3), np.array([1.0, 0, 0, 0]))
+                gen, drift = self._vl_results.get()
+                if gen == self._gen:
+                    self._apply_reloc_drift(drift, np.zeros(3),
+                                            np.array([1.0, 0, 0, 0]))
         # pose_graph.cpp updatePath: rewrite the loop-corrected trajectory
         # from the optimized 4-DoF graph so corrections reach PAST frames
         self.outputs.rebuild_loop_path(self.visual_loop)
@@ -621,6 +630,7 @@ class VILFusionPipeline:
                              or np.linalg.norm(p_est - self._last_kf_p) >= gap)):
                     self._vl_idle.clear()
                     self._vl_jobs.put(dict(
+                        gen=self._gen,
                         img=rec["img"], p_est=p_est, q_est=q_est,
                         window=rec["window"], feats=rec["feats"],
                         pre_drift=(rec["drift_R"], rec["drift_t"]),
@@ -793,7 +803,7 @@ class VILFusionPipeline:
                     pre_drift=job["pre_drift"], fresh=job["fresh"],
                     gate=False)
                 if drift is not None:
-                    self._vl_results.put(drift)
+                    self._vl_results.put((job["gen"], drift))
             except Exception as e:  # never kill the pipeline from the worker
                 import traceback
 
@@ -803,10 +813,13 @@ class VILFusionPipeline:
                 self._vl_idle.set()
 
     def _drain_vl_results(self, p_est, q_est):
-        """Apply every drift the worker produced since the last frame."""
+        """Apply every drift the worker produced since the last frame
+        (skipping any computed against a pre-restart estimator)."""
         while not self._vl_results.empty():
-            p_est, q_est = self._apply_reloc_drift(
-                self._vl_results.get(), p_est, q_est)
+            gen, drift = self._vl_results.get()
+            if gen != self._gen:
+                continue  # stale: estimator rebooted since the job was cut
+            p_est, q_est = self._apply_reloc_drift(drift, p_est, q_est)
         return p_est, q_est
 
     def _apply_reloc_drift(self, drift, p_est, q_est):
