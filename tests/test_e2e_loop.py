@@ -110,8 +110,10 @@ def test_cold_start_pipeline_closes_loop():
     assert loop_frame is not None
 
     # --- trajectory quality: the reference's acceptance criterion ----
-    gt_frames = np.stack([gt[round(t, 6)] for t in pipe.outputs.ts])
-    ate_vio = tum.ate_rmse(np.stack(pipe.outputs.vio_p), gt_frames)
+    # (initialized frames only: pubOdometry publishes in NON_LINEAR state)
+    ini = np.asarray(pipe.outputs.initialized, bool)
+    gt_frames = np.stack([gt[round(t, 6)] for t in pipe.outputs.ts])[ini]
+    ate_vio = tum.ate_rmse(np.stack(pipe.outputs.vio_p)[ini], gt_frames)
     gt_kf = np.stack([gt[round(t, 6)] for t in pipe.fusion.kf_ts])
     _, p_kf = pipe.fusion.poses()
     ate_fs = tum.ate_rmse(np.asarray(p_kf), gt_kf)
@@ -120,7 +122,7 @@ def test_cold_start_pipeline_closes_loop():
     assert ate_fs < 0.5, f"global-fusion ATE too large: {ate_fs:.3f}"
 
     # updatePath-rebuilt loop trajectory is no worse than raw VIO
-    ate_loop = tum.ate_rmse(np.stack(pipe.outputs.loop_p), gt_frames)
+    ate_loop = tum.ate_rmse(np.stack(pipe.outputs.loop_p)[ini], gt_frames)
     assert ate_loop <= ate_vio * 1.05, (
         f"loop-corrected ATE {ate_loop:.3f} worse than VIO {ate_vio:.3f}")
 

@@ -68,15 +68,19 @@ def main():
               "timers": GLOBAL_TIMERS.summary()}
     try:
         gt = ds.ground_truth()
+        # initialized frames only (reference pubOdometry gating)
+        ini = np.asarray(pipe.outputs.initialized, bool)
         est_p = np.asarray(pipe.outputs.vio_p)
+        ts = np.asarray(pipe.outputs.ts)
         if args.dataset == "euroc":
             t_gt, p_gt, _ = gt
-            ia, ib = tum.associate(np.asarray(pipe.outputs.ts), t_gt, 0.02)
-            report["ate_rmse_vio"] = tum.ate_rmse(est_p[ia], p_gt[ib])
+            ia, ib = tum.associate(ts[ini], t_gt, 0.02)
+            report["ate_rmse_vio"] = tum.ate_rmse(est_p[ini][ia], p_gt[ib])
         else:
             p_gt, _ = gt
             n = min(len(est_p), len(p_gt))
-            report["ate_rmse_vio"] = tum.ate_rmse(est_p[:n], p_gt[:n])
+            m = ini[:n]
+            report["ate_rmse_vio"] = tum.ate_rmse(est_p[:n][m], p_gt[:n][m])
         if pipe.fusion is not None and pipe.fusion.n_kf:
             _, p_loop = pipe.fusion.poses()
             report["n_loop_closures"] = len(pipe.fusion.loops_found)

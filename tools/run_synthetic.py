@@ -122,17 +122,23 @@ def main():
     gt = {round(1.0 + i * 0.1, 6): traj.position(1.0 + i * 0.1) + np.array([0, 0, 1.5])
           for i in range(n_frames)}
     gt_frames = np.stack([gt[round(t, 6)] for t in pipe.outputs.ts])
+    # VIO trajectories are evaluated on initialized frames only — the
+    # reference publishes odometry only in NON_LINEAR state (pubOdometry)
+    ini = np.asarray(pipe.outputs.initialized, bool)
     report = {
         "path_length_m": round(path_len, 1),
         "frames": len(pipe.outputs.ts),
+        "frames_initialized": int(ini.sum()),
         "wall_s": round(wall, 1),
         "fps": round(len(pipe.outputs.ts) / wall, 2),
         "restarts": pipe.restarts,
         "n_sc_loops": len(pipe.fusion.loops_found) if pipe.fusion else 0,
         "n_visual_loops": int(pipe.visual_loop.graph.n_loops)
         if pipe.visual_loop is not None else 0,
-        "ate_rmse_vio": tum.ate_rmse(np.stack(pipe.outputs.vio_p), gt_frames),
-        "ate_rmse_loop": tum.ate_rmse(np.stack(pipe.outputs.loop_p), gt_frames)
+        "ate_rmse_vio": tum.ate_rmse(np.stack(pipe.outputs.vio_p)[ini],
+                                     gt_frames[ini]),
+        "ate_rmse_loop": tum.ate_rmse(np.stack(pipe.outputs.loop_p)[ini],
+                                      gt_frames[ini])
         if pipe.outputs.loop_p else None,
         "timers": GLOBAL_TIMERS.summary(),
     }

@@ -111,6 +111,10 @@ class PipelineOutputs:
     # their keyframe)
     anchor_kf: list = field(default_factory=list)
     anchor_rel: list = field(default_factory=list)  # (R_rel, p_rel) or None
+    # per-frame estimator-initialized flag: the reference publishes VIO
+    # odometry only in NON_LINEAR state (pubOdometry, visualization.cpp) —
+    # pre-initialization rows are excluded from the VIO trajectories/ATE
+    initialized: list = field(default_factory=list)
 
     def rebuild_loop_path(self, db):
         """Rewrite loop_p/loop_q retroactively from the optimized keyframe
@@ -133,11 +137,16 @@ class PipelineOutputs:
         import os
 
         os.makedirs(out_dir, exist_ok=True)
+        ini = self.initialized or [True] * len(self.ts)
+        sel = [k for k, ok in enumerate(ini) if ok]
         tum.write_tum(os.path.join(out_dir, "vins_result_no_loop.txt"),
-                      self.ts, self.vio_p, self.vio_q)
+                      [self.ts[k] for k in sel], [self.vio_p[k] for k in sel],
+                      [self.vio_q[k] for k in sel])
         if self.loop_p:
             tum.write_tum(os.path.join(out_dir, "vins_result_loop.txt"),
-                          self.ts, self.loop_p, self.loop_q)
+                          [self.ts[k] for k in sel],
+                          [self.loop_p[k] for k in sel],
+                          [self.loop_q[k] for k in sel])
         tum.write_tum(os.path.join(out_dir, "lidar_odometry.txt"),
                       self.ts, self.lidar_p, self.lidar_q)
         if fusion is not None and fusion.n_kf:
@@ -444,6 +453,7 @@ class VILFusionPipeline:
         self.outputs.lidar_q.append(np.asarray(q))
         self.outputs.vio_p.append(np.asarray(p))
         self.outputs.vio_q.append(np.asarray(q))
+        self.outputs.initialized.append(True)  # lidar odometry: always valid
         self.last_processed_t = t
         return np.asarray(p), np.asarray(q)
 
@@ -648,6 +658,7 @@ class VILFusionPipeline:
         self.outputs.ts.append(rec["t"])
         self.outputs.vio_p.append(p_est)
         self.outputs.vio_q.append(q_est)
+        self.outputs.initialized.append(True)  # deferred path requires init
         if self.visual_loop is not None:
             self._append_loop_output(p_est, q_est)
         if rec["scan"] is not None:
@@ -783,6 +794,7 @@ class VILFusionPipeline:
         self.outputs.ts.append(t)
         self.outputs.vio_p.append(p_est)
         self.outputs.vio_q.append(q_est)
+        self.outputs.initialized.append(bool(self.estimator.initialized))
         if self.visual_loop is not None:
             self._append_loop_output(p_est, q_est)
         self.outputs.lidar_p.append(np.asarray(self.lidar_state.p))

@@ -105,12 +105,14 @@ def render_pipeline_report(pipeline, out_dir: str):
 
     os.makedirs(out_dir, exist_ok=True)
     o = pipeline.outputs
-    trajs = {"vio": o.vio_p}
+    ini = o.initialized or [True] * len(o.ts)
+    sel = [k for k, ok in enumerate(ini) if ok]
+    trajs = {"vio": [o.vio_p[k] for k in sel]}
     if o.loop_p:
-        trajs["loop-corrected"] = o.loop_p
+        trajs["loop-corrected"] = [o.loop_p[k] for k in sel]
     if o.lidar_p:
         trajs["lidar-odom"] = o.lidar_p
-    if o.vio_p:
+    if trajs["vio"]:
         plot_trajectories(trajs, os.path.join(out_dir, "trajectories.png"))
     ls = pipeline.lidar_state
     if int(np.asarray(ls.surf_map_valid).sum()):
