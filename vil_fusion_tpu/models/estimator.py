@@ -642,17 +642,38 @@ class VILEstimator:
             sfm.q, qic, self.pre.dq, self.pre.jac[:, 3:6, 12:15], self.pre.valid)
         if not np.all(np.isfinite(np.asarray(dbg))):
             return False
+        # physical plausibility: MEMS gyro biases are < ~0.1 rad/s; a large
+        # estimate means the SfM rotation chain is junk (degenerate RANSAC
+        # draw / bad window geometry) and the whole alignment will silently
+        # succeed with collapsed scale — observed exactly once per cold start
+        # at full KITTI intrinsics before this gate existed
+        if float(np.linalg.norm(np.asarray(dbg))) > 0.5:
+            return False
         self._repropagate(jnp.zeros(3, self.dtype), dbg)
 
-        v_b, g_est, s = init_mod.linear_alignment(
-            q_b, sfm.p, self.pre.dp, self.pre.dv, self.pre.dt_sum,
-            self.pre.valid, tic)
+        # vil mode: pin the metric scale from the lidar odometry's relative
+        # translations (novelty #2 used at init time — the joint [v, g, s]
+        # solve is near-degenerate under sustained turning: gravity can
+        # absorb the centripetal term and collapse s; with s known the
+        # system is well-conditioned)
+        s_lidar, n_lid = init_mod.lidar_scale_estimate(
+            sfm.p, self.lidar.p_rel, self.lidar.valid)
         g_norm = float(jnp.linalg.norm(jnp.asarray(cfg.ba.gravity)))
+        if s_lidar > 0:
+            v_b, g_est = init_mod.linear_alignment_fixed_scale(
+                q_b, sfm.p, self.pre.dp, self.pre.dv, self.pre.dt_sum,
+                self.pre.valid, tic, jnp.asarray(s_lidar, self.dtype))
+            s = s_lidar
+        else:
+            v_b, g_est, s = init_mod.linear_alignment(
+                q_b, sfm.p, self.pre.dp, self.pre.dv, self.pre.dt_sum,
+                self.pre.valid, tic)
         if abs(float(jnp.linalg.norm(g_est)) - g_norm) > 1.5 or float(s) < 0:
             return False
         g_ref, v_b, s = init_mod.refine_gravity(
             q_b, sfm.p, self.pre.dp, self.pre.dv, self.pre.dt_sum,
-            self.pre.valid, tic, g_est, g_norm)
+            self.pre.valid, tic, g_est, g_norm,
+            s_fixed=(jnp.asarray(s_lidar, self.dtype) if s_lidar > 0 else None))
         s = float(s)
         if s <= 0:
             return False
@@ -669,6 +690,21 @@ class VILEstimator:
         p_new = lie.qrot(q_R0[None, :], p_b - p_b[0:1])
         q_new = lie.qnormalize(lie.qmul(q_R0[None, :], q_b))
         v_new = lie.qrot(q_new, v_b)  # body-frame vel -> world
+
+        # vil-mode metric cross-check the reference cannot do: its lidar
+        # odometry T_ij (novelty #2, lidar_factor.h) is metric, so the
+        # recovered visual-inertial scale must agree with the accumulated
+        # lidar translation over the same window. A silent scale collapse
+        # here otherwise survives until the first BA fights the lidar
+        # factors and failureDetection reboots the estimator.
+        lid_ok = np.asarray(self.lidar.valid)
+        if lid_ok.sum() >= 3:
+            lid = float(np.linalg.norm(
+                np.asarray(self.lidar.p_rel), axis=-1)[lid_ok].sum())
+            seg = np.linalg.norm(np.diff(np.asarray(p_new), axis=0), axis=-1)
+            vis = float(seg[lid_ok[1:]].sum())
+            if lid > 1.0 and not (0.6 < vis / lid < 1.7):
+                return False
 
         self.window = self.window._replace(
             p=p_new, q=q_new, v=v_new,

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vil_fusion_tpu.models import klt
 from vil_fusion_tpu.models.window import K
@@ -220,9 +221,13 @@ def global_sfm(feats_obs, feats_valid, key, reproj_iters: int = 12):
         q, p, pts_w, pts_ok = jax.lax.cond(jnp.asarray(i) < l, bwd, skip,
                                            (q, p, pts_w, pts_ok))
 
-    # full-SfM refinement: reprojection-only GN over all poses, frame l fixed,
-    # newest-frame translation direction fixes scale (initial_sfm.h :56-69 BA)
-    def sfm_residual(delta_flat, q, p):
+    # full-SfM refinement: alternate pose-GN with multi-view DLT structure
+    # re-triangulation (the reference's GlobalSFM full BA optimizes points
+    # AND poses, initial_sfm.h :56-69; structure triangulated only against
+    # frame l is biased at narrow baselines and warps the pose chain —
+    # observed as a backwards step in an otherwise smooth window, which then
+    # collapses the visual-IMU scale solve)
+    def sfm_residual(delta_flat, q, p, pts_w, pts_ok):
         delta = delta_flat.reshape(K, 6)
         mask = jnp.ones((K, 1), dtype).at[l].set(0.0)
         qn, pn = lie.pose_retract((q, p), delta * mask)
@@ -234,18 +239,55 @@ def global_sfm(feats_obs, feats_valid, key, reproj_iters: int = 12):
         w = (feats_valid & pts_ok[:, None]).astype(dtype)
         return (r * w[..., None]).reshape(-1)
 
-    def gn_body(_, qp):
-        q, p = qp
+    def gn_body(_, state):
+        q, p, pts_w, pts_ok = state
         z = jnp.zeros(K * 6, dtype)
-        r = sfm_residual(z, q, p)
-        J = jax.jacfwd(sfm_residual)(z, q, p)
+        r = sfm_residual(z, q, p, pts_w, pts_ok)
+        J = jax.jacfwd(sfm_residual)(z, q, p, pts_w, pts_ok)
         H = J.T @ J + 1e-5 * jnp.eye(K * 6, dtype=dtype)
         delta = jnp.linalg.solve(H, -J.T @ r)
         mask = jnp.ones((K, 6), dtype).at[l].set(0.0).reshape(-1)
         qn, pn = lie.pose_retract((q, p), (delta * mask).reshape(K, 6))
-        return qn, pn
+        return qn, pn, pts_w, pts_ok
 
-    q, p = jax.lax.fori_loop(0, reproj_iters, gn_body, (q, p))
+    def retriangulate(q, p, pts_w, pts_ok):
+        """Multi-view DLT per feature from the current poses; keeps the
+        two-view point where DLT lacks support. Gauge: poses+points rescaled
+        so |p[newest]| stays 1 (the scale is otherwise free once structure
+        floats)."""
+        R_t = jax.vmap(lambda qq: lie.q2R(qq).T)(q)  # (K, 3, 3) world->cam
+        # rows: (R^T[0] - u R^T[2]) . X = (R^T[0] - u R^T[2]) . p_i, same v
+        a_u = R_t[None, :, 0] - feats_obs[..., 0:1] * R_t[None, :, 2]
+        a_v = R_t[None, :, 1] - feats_obs[..., 1:2] * R_t[None, :, 2]
+        b_u = jnp.einsum("fkc,kc->fk", a_u, p)
+        b_v = jnp.einsum("fkc,kc->fk", a_v, p)
+        w = feats_valid.astype(dtype)[..., None]
+        A = jnp.concatenate([a_u * w, a_v * w], axis=1)  # (F, 2K, 3)
+        b = jnp.concatenate([b_u * w[..., 0], b_v * w[..., 0]], axis=1)
+        AtA = jnp.einsum("frc,frd->fcd", A, A) + 1e-6 * jnp.eye(3, dtype=dtype)
+        Atb = jnp.einsum("frc,fr->fc", A, b)
+        X = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]  # (F, 3)
+        n_obs = feats_valid.sum(axis=1)
+        # quality: positive depth in frame l and newest, bounded reprojection
+        def depth_in(i):
+            return lie.qrot(lie.qconj(q[i]), X - p[i])[..., 2]
+        pc = lie.qrot(lie.qconj(q)[None, :, :], X[:, None, :] - p[None, :, :])
+        z = jnp.maximum(pc[..., 2], 1e-4)
+        rep = jnp.linalg.norm(pc[..., :2] / z[..., None] - feats_obs, axis=-1)
+        rep_ok = jnp.where(feats_valid, rep, 0.0).max(axis=1) < 0.05
+        good = (n_obs >= 2) & (depth_in(l) > 0.05) & rep_ok
+        pts_new = jnp.where(good[:, None], X, pts_w)
+        ok_new = pts_ok | good
+        # re-fix the gauge
+        scale = 1.0 / jnp.maximum(jnp.linalg.norm(p[newest]), 1e-6)
+        return pts_new * scale, ok_new, scale
+
+    rounds = max(1, reproj_iters // 4)
+    for _ in range(rounds):
+        q, p, pts_w, pts_ok = jax.lax.fori_loop(
+            0, 4, gn_body, (q, p, pts_w, pts_ok))
+        pts_w, pts_ok, scale = retriangulate(q, p, pts_w, pts_ok)
+        p = p * scale
     ok = found & (n_good > 15)
     return SfMResult(q=q, p=p, ok=ok, l_frame=l), pts_w, pts_ok
 
@@ -317,9 +359,61 @@ def linear_alignment(q_b, p_c, pre_dp, pre_dv, pre_dt, seg_valid, tic, g_norm=9.
     return v, g, s
 
 
+def linear_alignment_fixed_scale(q_b, p_c, pre_dp, pre_dv, pre_dt, seg_valid,
+                                 tic, s):
+    """LinearAlignment with the metric scale KNOWN (vil mode: the lidar
+    odometry's relative translations are metric — reference novelty #2 —
+    so s never has to be estimated from the near-degenerate joint system;
+    under sustained circular motion the joint [v, g, s] solve can explain
+    the centripetal term with a tilted, inflated gravity and collapse s).
+    State x = [v_0..v_{K-1} (3K), g (3)]."""
+    dtype = q_b.dtype
+    n_state = 3 * K + 3
+    A = jnp.zeros((n_state, n_state), dtype)
+    b = jnp.zeros((n_state,), dtype)
+    for i in range(K - 1):
+        w = seg_valid[i + 1].astype(dtype)
+        dt = pre_dt[i + 1]
+        RiT = lie.q2R(q_b[i]).T
+        Rj = lie.q2R(q_b[i + 1])
+        H = jnp.zeros((6, n_state), dtype)
+        z = jnp.zeros((6,), dtype)
+        H = H.at[0:3, 3 * i : 3 * i + 3].set(-dt * jnp.eye(3, dtype=dtype))
+        H = H.at[0:3, 3 * K : 3 * K + 3].set(0.5 * dt * dt * RiT)
+        z = z.at[0:3].set(pre_dp[i + 1] + RiT @ Rj @ tic - tic
+                          - s * RiT @ (p_c[i + 1] - p_c[i]))
+        H = H.at[3:6, 3 * i : 3 * i + 3].set(-jnp.eye(3, dtype=dtype))
+        H = H.at[3:6, 3 * (i + 1) : 3 * (i + 1) + 3].set(RiT @ Rj)
+        H = H.at[3:6, 3 * K : 3 * K + 3].set(dt * RiT)
+        z = z.at[3:6].set(pre_dv[i + 1])
+        A = A + w * H.T @ H
+        b = b + w * H.T @ z
+    A = A + 1e-8 * jnp.eye(n_state, dtype=dtype)
+    s_diag = 1.0 / jnp.sqrt(jnp.abs(jnp.diag(A)) + 1e-10)
+    An = A * s_diag[:, None] * s_diag[None, :]
+    x = jnp.linalg.solve(An, b * s_diag) * s_diag
+    return x[: 3 * K].reshape(K, 3), x[3 * K : 3 * K + 3]
+
+
+def lidar_scale_estimate(p_c, lidar_p_rel, lidar_valid):
+    """Metric scale for the SfM translations from the lidar odometry's
+    per-segment relative translations (body frame; norms are rotation
+    invariant, and t_ic offsets cancel to first order). Robust median over
+    the window's valid segments. Returns (s, n_used)."""
+    p_c = np.asarray(p_c)
+    seg_vis = np.linalg.norm(np.diff(p_c, axis=0), axis=-1)  # (K-1,)
+    seg_lid = np.linalg.norm(np.asarray(lidar_p_rel), axis=-1)[1:]  # slot i+1
+    ok = np.asarray(lidar_valid)[1:] & (seg_vis > 1e-5) & (seg_lid > 0.02)
+    if ok.sum() < 3:
+        return -1.0, int(ok.sum())
+    return float(np.median(seg_lid[ok] / seg_vis[ok])), int(ok.sum())
+
+
 def refine_gravity(q_b, p_c, pre_dp, pre_dv, pre_dt, seg_valid, tic,
-                   g0, g_norm=9.81, iters: int = 4):
-    """RefineGravity :162-207: re-solve with |g| fixed, 2-dof tangent basis."""
+                   g0, g_norm=9.81, iters: int = 4, s_fixed=None):
+    """RefineGravity :162-207: re-solve with |g| fixed, 2-dof tangent basis.
+    With `s_fixed` the scale column is moved to the measurement side (vil
+    mode: metric scale pinned by the lidar odometry)."""
     dtype = q_b.dtype
     g = g0 / jnp.linalg.norm(g0) * g_norm
 
@@ -333,7 +427,7 @@ def refine_gravity(q_b, p_c, pre_dp, pre_dv, pre_dt, seg_valid, tic,
         b2 = jnp.cross(a, b1)
         basis = jnp.stack([b1, b2], axis=1)  # (3, 2)
 
-        n_state = 3 * K + 3  # velocities + dg(2) + s(1)
+        n_state = 3 * K + 3  # velocities + dg(2) + s(1; unused if fixed)
         A = jnp.zeros((n_state, n_state), dtype)
         bb = jnp.zeros((n_state,), dtype)
         for i in range(K - 1):
@@ -345,9 +439,12 @@ def refine_gravity(q_b, p_c, pre_dp, pre_dv, pre_dt, seg_valid, tic,
             z = jnp.zeros((6,), dtype)
             H = H.at[0:3, 3 * i : 3 * i + 3].set(-dt * jnp.eye(3, dtype=dtype))
             H = H.at[0:3, 3 * K : 3 * K + 2].set(0.5 * dt * dt * RiT @ basis)
-            H = H.at[0:3, 3 * K + 2].set(RiT @ (p_c[i + 1] - p_c[i]))
-            z = z.at[0:3].set(pre_dp[i + 1] + RiT @ Rj @ tic - tic
-                              - 0.5 * dt * dt * RiT @ g)
+            zp = pre_dp[i + 1] + RiT @ Rj @ tic - tic - 0.5 * dt * dt * RiT @ g
+            if s_fixed is None:
+                H = H.at[0:3, 3 * K + 2].set(RiT @ (p_c[i + 1] - p_c[i]))
+            else:
+                zp = zp - s_fixed * RiT @ (p_c[i + 1] - p_c[i])
+            z = z.at[0:3].set(zp)
             H = H.at[3:6, 3 * i : 3 * i + 3].set(-jnp.eye(3, dtype=dtype))
             H = H.at[3:6, 3 * (i + 1) : 3 * (i + 1) + 3].set(RiT @ Rj)
             H = H.at[3:6, 3 * K : 3 * K + 2].set(dt * RiT @ basis)
@@ -360,7 +457,7 @@ def refine_gravity(q_b, p_c, pre_dp, pre_dv, pre_dt, seg_valid, tic,
         dg = basis @ x[3 * K : 3 * K + 2]
         g = (g + dg) / jnp.linalg.norm(g + dg) * g_norm
     v = x[: 3 * K].reshape(K, 3)
-    s = x[3 * K + 2]
+    s = jnp.asarray(s_fixed, dtype) if s_fixed is not None else x[3 * K + 2]
     return g, v, s
 
 
