@@ -160,3 +160,48 @@ def test_initial_ex_rotation():
     q_est = init_mod.initial_ex_rotation(jnp.stack(q_cam), jnp.stack(q_imu), 30)
     err = lie.so3_log(lie.qmul(lie.qconj(q_est), qic_true))
     assert float(jnp.linalg.norm(err)) < 1e-3, q_est
+
+
+def test_fixed_scale_alignment_matches_truth():
+    """linear_alignment_fixed_scale + refine_gravity(s_fixed): with the
+    metric scale pinned (vil mode: from the lidar odometry) the [v, g] solve
+    recovers gravity and body velocities exactly on clean data — and the
+    lidar scale estimator recovers the pin from per-segment translations."""
+    traj = sim.Trajectory()
+    ts = 1.0 + np.arange(window.K) * 0.2
+    scale_true = 0.25
+    q_b = jnp.asarray(np.stack([sim.R_to_q(traj.rotation(t)) for t in ts]), jnp.float32)
+    p_c = []
+    for t in ts:
+        R_wc, p_wc = camera_pose(traj, t)
+        p_c.append(scale_true * p_wc)
+    p_c = jnp.asarray(np.stack(p_c), jnp.float32)
+    dp = [jnp.zeros(3)]; dv = [jnp.zeros(3)]; dts = [jnp.zeros(())]
+    lidar_rel = [np.zeros(3)]
+    for i in range(1, window.K):
+        t_s, acc, gyr = sim.simulate_imu(traj, ts[i - 1], ts[i], IMU_RATE)
+        pre = imu_mod.preintegrate(
+            jnp.asarray(acc, jnp.float32), jnp.asarray(gyr, jnp.float32),
+            jnp.asarray(np.diff(t_s), jnp.float32), jnp.zeros(3), jnp.zeros(3))
+        dp.append(pre.dp); dv.append(pre.dv); dts.append(pre.dt_sum)
+        # metric body-frame relative translation (what lidar odometry measures)
+        lidar_rel.append(traj.rotation(ts[i - 1]).T
+                         @ (traj.position(ts[i]) - traj.position(ts[i - 1])))
+    valid = jnp.ones(window.K, bool)
+
+    s_est, n_used = init_mod.lidar_scale_estimate(
+        p_c, np.stack(lidar_rel), np.ones(window.K, bool))
+    assert n_used >= 3
+    np.testing.assert_allclose(s_est, 1.0 / scale_true, rtol=0.02)
+
+    v, g = init_mod.linear_alignment_fixed_scale(
+        q_b, p_c, jnp.stack(dp), jnp.stack(dv), jnp.stack(dts), valid,
+        jnp.zeros(3), jnp.float32(s_est))
+    np.testing.assert_allclose(np.asarray(g), sim.GRAVITY, atol=0.08)
+    g_ref, v_ref, s_ref = init_mod.refine_gravity(
+        q_b, p_c, jnp.stack(dp), jnp.stack(dv), jnp.stack(dts), valid,
+        jnp.zeros(3), g, s_fixed=jnp.float32(s_est))
+    np.testing.assert_allclose(np.asarray(g_ref), sim.GRAVITY, atol=0.05)
+    np.testing.assert_allclose(float(s_ref), 1.0 / scale_true, rtol=0.02)
+    v_true = np.stack([traj.rotation(t).T @ traj.velocity(t) for t in ts])
+    np.testing.assert_allclose(np.asarray(v_ref), v_true, atol=0.05)
