@@ -35,9 +35,15 @@ def test_global_fusion_checkpoint_roundtrip(tmp_path):
                                                cloud_capacity=128))
     checkpoint.load_global_fusion(f2, path)
     assert f2.n_kf == fusion.n_kf
+    assert f2.kf_ts == fusion.kf_ts
+    assert f2.loops_found == fusion.loops_found
+    np.testing.assert_allclose(np.asarray(f2.last_p), np.asarray(fusion.last_p))
     np.testing.assert_allclose(np.asarray(f2.graph.p), np.asarray(fusion.graph.p))
     np.testing.assert_allclose(np.asarray(f2.scdb.desc), np.asarray(fusion.scdb.desc))
-    # resumed instance keeps working
+    # resumed instance keeps working (keyframe gate state restored: a frame
+    # at the last saved pose is NOT a keyframe)
     pts = rng.normal(size=(256, 3)).astype(np.float32) * 10
+    f2.add_frame(np.array([1.0, 0, 0, 0]), np.array([6.0, 0, 0]), pts, np.ones(256, bool))
+    assert f2.n_kf == fusion.n_kf
     f2.add_frame(np.array([1.0, 0, 0, 0]), np.array([9.0, 0, 0]), pts, np.ones(256, bool))
     assert f2.n_kf == fusion.n_kf + 1

@@ -83,6 +83,10 @@ def save_global_fusion(fusion, path: str):
         graph=fusion.graph, scdb=fusion.scdb,
         clouds=fusion.clouds, cloud_valid=fusion.cloud_valid,
         kf_q=np.asarray(fusion.kf_q_odom), kf_p=np.asarray(fusion.kf_p_odom),
+        kf_ts=np.asarray(fusion.kf_ts),
+        loops=np.asarray(fusion.loops_found, np.int64).reshape(-1, 2),
+        last_q=np.asarray(fusion.last_q if fusion.last_q is not None else []),
+        last_p=np.asarray(fusion.last_p if fusion.last_p is not None else []),
         n_kf=np.int64(fusion.n_kf)))
 
 
@@ -94,5 +98,11 @@ def load_global_fusion(fusion, path: str):
     fusion.cloud_valid = jnp.asarray(flat["cloud_valid"])
     fusion.kf_q_odom = [q for q in flat["kf_q"]]
     fusion.kf_p_odom = [p for p in flat["kf_p"]]
+    fusion.kf_ts = [float(t) for t in flat.get("kf_ts", [])]
+    fusion.loops_found = [tuple(int(x) for x in row)
+                          for row in flat.get("loops", np.zeros((0, 2)))]
+    if flat.get("last_q") is not None and flat["last_q"].size:
+        fusion.last_q = flat["last_q"]
+        fusion.last_p = flat["last_p"]
     fusion.n_kf = int(flat["n_kf"])
     return fusion
