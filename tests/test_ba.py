@@ -139,10 +139,13 @@ def test_optimize_recovers_perturbed_window():
     state_gt, feats, pre, lidar, _ = make_vio_problem()
     state0 = perturb(state_gt)
     err0 = _pos_err(state0, state_gt)
-    # cold start from a 14 cm perturbation: give the solver double the
+    # cold start from a 14 cm perturbation: give the solver triple the
     # runtime budget (at runtime BA starts from IMU-propagated states and
-    # 8 iterations suffice — see test_depth_perturbation_recovered)
-    cfg = ba.BAConfig(max_iters=16)
+    # 8 iterations suffice — see test_depth_perturbation_recovered).
+    # Convergence trace at this geometry: 16 iters -> 2.1 cm, 24 -> 0.99 cm,
+    # 32 -> 0.76 cm (the graduated Cauchy schedule spends the first iters
+    # at a wide kernel, so cold-start convergence lags the warm-start case).
+    cfg = ba.BAConfig(max_iters=24)
     prior = ba.empty_prior(state0)
     state1, feats1, cost = ba.optimize(state0, feats, pre, lidar, prior, cfg)
     err1 = _pos_err(state1, state_gt)
