@@ -25,8 +25,34 @@ from vil_fusion_tpu.ops import knn as knn_xla
 _INF = 3.4e38  # python float: a jnp constant would be captured as a tracer
 
 
+def _pair_dist2(q, d, v, mxu: bool):
+    """Squared distances (QT, DT) between padded-4-col point tiles.
+
+    mxu=False: 3 VPU diff-square-accumulate passes over the block.
+    mxu=True: |q|^2 - 2 q.d + |d|^2 with the cross term as one dot_general on
+    the MXU (the 4th column is zero-padded so it contributes nothing); the
+    two norms are rank-1 VPU terms. Trades 3 full-block VPU passes for one
+    heavily K-padded (K=4) matmul — which side wins is hardware-dependent,
+    so both forms are kept and the dispatcher picks the measured winner.
+    Caveat: the expanded form loses ~1 ulp of cancellation accuracy near
+    zero distance; callers gate on radii >> f32 eps so this is immaterial."""
+    if mxu:
+        dot = jax.lax.dot_general(q, d, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        dn = jnp.sum(d * d, axis=1)[None, :]
+        dist = jnp.maximum(qn + dn - 2.0 * dot, 0.0)
+    else:
+        dist = jnp.zeros((q.shape[0], d.shape[0]), jnp.float32)
+        for c in range(3):
+            diff = q[:, c][:, None] - d[:, c][None, :]
+            dist = dist + diff * diff
+    return jnp.where(v > 0.5, dist, _INF)
+
+
 def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
-                best_d, best_i, *, k: int, db_tile: int, packed: bool):
+                best_d, best_i, *, k: int, db_tile: int, packed: bool,
+                mxu: bool):
     dj = pl.program_id(1)
     n_db = pl.num_programs(1)
 
@@ -39,12 +65,7 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
     d = db_ref[:]  # (DT, 3pad)
     v = valid_ref[:]  # (1, DT) f32 (1 valid / 0 invalid)
 
-    # squared distances (QT, DT): |q|^2 - 2 q.d + |d|^2 via MXU-free VPU ops
-    dist = jnp.zeros((q.shape[0], d.shape[0]), jnp.float32)
-    for c in range(3):
-        diff = q[:, c][:, None] - d[:, c][None, :]
-        dist = dist + diff * diff
-    dist = jnp.where(v > 0.5, dist, _INF)
+    dist = _pair_dist2(q, d, v, mxu)
 
     base = dj * db_tile
     bd = best_d[:]  # (QT, k)
@@ -113,10 +134,10 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile",
-                                              "interpret", "packed"))
+                                              "interpret", "packed", "mxu"))
 def knn_pallas(queries, database, db_valid, k: int = 5,
                q_tile: int = 512, db_tile: int = 4096, interpret: bool = False,
-               packed: bool = False):
+               packed: bool = False, mxu: bool = False):
     """Drop-in for ops.knn.knn on TPU. queries (Nq, 3), database (Nd, 3).
 
     packed=True selects the packed-key top-k merge: ~0.02% distance
@@ -132,7 +153,8 @@ def knn_pallas(queries, database, db_valid, k: int = 5,
 
     grid = (q.shape[0] // q_tile, db.shape[0] // db_tile)
     out_d, out_i = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, db_tile=db_tile, packed=packed),
+        functools.partial(_knn_kernel, k=k, db_tile=db_tile, packed=packed,
+                          mxu=mxu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, 4), lambda i, j: (i, 0),
@@ -187,7 +209,7 @@ def _morton_keys(pts, origin, cell: float):
 def _sparse_knn_kernel(qlo_ref, qhi_ref, dlo_ref, dhi_ref,
                        qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
                        best_d, best_i, *, k: int, db_tile: int,
-                       radius2: float, packed: bool):
+                       radius2: float, packed: bool, mxu: bool):
     qi = pl.program_id(0)
     dj = pl.program_id(1)
 
@@ -212,11 +234,7 @@ def _sparse_knn_kernel(qlo_ref, qhi_ref, dlo_ref, dhi_ref,
         q = qx_ref[:]
         d = db_ref[:]
         v = valid_ref[:]
-        dist = jnp.zeros((q.shape[0], d.shape[0]), jnp.float32)
-        for c in range(3):
-            diff = q[:, c][:, None] - d[:, c][None, :]
-            dist = dist + diff * diff
-        dist = jnp.where(v > 0.5, dist, _INF)
+        dist = _pair_dist2(q, d, v, mxu)
 
         base = dj * db_tile
         bd = best_d[:]
