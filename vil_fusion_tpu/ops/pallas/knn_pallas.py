@@ -312,12 +312,13 @@ def morton_sort(pts, valid=None, cell: float = 2.0):
 
 @functools.partial(jax.jit, static_argnames=("k", "radius", "q_tile", "db_tile",
                                              "cell", "q_sorted", "db_sorted",
-                                             "interpret", "packed"))
+                                             "interpret", "packed", "mxu"))
 def knn_pallas_sparse(queries, database, db_valid, k: int = 5,
                       radius: float = 3.0, q_tile: int = 512,
                       db_tile: int = 1024, cell: float = 2.0,
                       q_sorted: bool = False, db_sorted: bool = False,
-                      interpret: bool = False, packed: bool = False):
+                      interpret: bool = False, packed: bool = False,
+                      mxu: bool = False):
     """kNN exact for all neighbours within `radius` (farther neighbours may be
     replaced by _INF/garbage — callers MUST gate on d2 < radius^2, which the
     LOAM correspondence builders do via max_corr_dist).
@@ -367,7 +368,7 @@ def knn_pallas_sparse(queries, database, db_valid, k: int = 5,
     grid = (qs.shape[0] // q_tile, dbs.shape[0] // db_tile)
     out_d, out_i = pl.pallas_call(
         functools.partial(_sparse_knn_kernel, k=k, db_tile=db_tile,
-                          radius2=float(radius) ** 2, packed=packed),
+                          radius2=float(radius) ** 2, packed=packed, mxu=mxu),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
