@@ -78,7 +78,14 @@ def track_step(
     key: jnp.ndarray = None,
 ):
     """One frame: returns (new_state, obs) where obs is a dict with per-slot
-    ids/valid/uv pixels/normalized xy/velocity (readImage :119-209 pipeline)."""
+    ids/valid/uv pixels/normalized xy/velocity (readImage :119-209 pipeline).
+
+    Accepts uint8 images and normalizes ON DEVICE: callers should upload the
+    sensor's native 1-byte pixels — host-side float conversion quadruples the
+    host->device transfer, which dominates deployment frame time under
+    remote-dispatch (and is pure waste on PCIe too)."""
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     dtype = img.dtype
     if cfg.use_clahe:
         img_p = im.clahe_like(img)

@@ -23,12 +23,16 @@ from vil_fusion_tpu.runtime import native
 
 
 def _load_image(path: str) -> np.ndarray:
+    """Images are returned as uint8: the tracker normalizes ON DEVICE
+    (models/tracker.py), so keeping the sensor's 1-byte pixels on the host
+    side quarters the per-frame host->device transfer."""
     if path.endswith(".pgm"):
-        return native.load_pgm(path)
+        f = native.load_pgm(path)  # normalized f32 from the native loader
+        return np.clip(f * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
     from PIL import Image
 
     img = Image.open(path).convert("L")
-    return np.asarray(img, np.float32) / 255.0
+    return np.asarray(img, np.uint8)
 
 
 class KittiOdometry:

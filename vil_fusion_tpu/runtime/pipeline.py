@@ -94,6 +94,52 @@ def _np_propagate(p, q, v, ba_, bg_, acc0, gyr0, acc1, gyr1, dt, g):
     return p_new, q_new, v_new
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "tcfg", "lcfg", "ecfg"))
+def _vil_frame_program(tracker_state, lidar_state,
+                       window, feats, pre, lidarc, prior,
+                       img, t, key, pts, val,
+                       acc_b, gyr_b, dt_b, n_imu,
+                       q_il, t_il, q_li, t_li, q_cl, t_cl, tsh_scale,
+                       cam, tcfg, lcfg, ecfg):
+    """The ENTIRE steady-state vil frame as ONE XLA program: tracker ->
+    lidar odometry -> extrinsic glue -> depth association -> fused estimator
+    step (IMU/ingest/triangulate/BA/marginalize/slide).
+
+    Why: under dispatch latency (the remote-TPU tunnel especially, ~30 ms
+    per program execution regardless of compute) the five per-stage
+    dispatches dominate the frame budget; fusing them into one program makes
+    a vil frame cost the same round trip as a single stage. This is the end
+    state of the SURVEY §7 'frame-synchronous pipeline of jitted stages' —
+    the stages still exist as functions, the deployment composes them into
+    one device program per frame (the reference's per-frame work across its
+    4 processes, launch/run_fusion.launch:13-36, with the process hops
+    compiled away)."""
+    tracker_state, obs = trk.track_step(tracker_state, img, t, cam, tcfg,
+                                        key=key)
+    lidar_state, (lq, lp, lqr, lpr) = lo.odometry_step(lidar_state, pts, val,
+                                                       lcfg)
+    # lidar relative pose through the extrinsics into the IMU frame
+    # (lidar_factor.h composition) + cloud into the camera frame
+    qt, pt = lie.pose_compose((q_il, t_il), (lqr, lpr))
+    q_imu, p_imu = lie.pose_compose((qt, pt), (q_li, t_li))
+    cloud_cam = lie.qrot(q_cl[None, :], pts) + t_cl[None, :]
+    depth, _ok = depth_association.feature_depth(
+        obs["xy"], obs["valid"], cloud_cam, val)
+    # rolling-shutter readout shift TR*(row-ROW/2)/ROW; tsh_scale = TR/ROW
+    # (zero for global-shutter rigs)
+    tsh = tsh_scale * (obs["uv"][:, 1] - 0.5 * img.shape[0])
+    window, feats, pre, lidarc, prior, out = est_mod.fused_full_step(
+        window, feats, pre, lidarc, prior,
+        acc_b, gyr_b, dt_b, n_imu,
+        obs["ids"], obs["xy"], obs["vel"], depth, tsh,
+        q_imu, p_imu, jnp.asarray(True), jnp.asarray(True), ecfg)
+    return (tracker_state, lidar_state, window, feats, pre, lidarc, prior,
+            out, lq, lp, obs["ids"], depth)
+
+
 @dataclass
 class PipelineOutputs:
     ts: list = field(default_factory=list)
@@ -162,6 +208,9 @@ class VILFusionPipeline:
 
     SYNC_WINDOW = 0.03  # camera-lidar pairing (feature_tracker_node.cpp:225)
     CAMERA_GAP_RESTART = 1.0  # stream watchdog (restart path)
+    # steady-state vil frames run as ONE device program (_vil_frame_program);
+    # False falls back to per-stage dispatches (A/B and debugging)
+    FUSE_FRAMES = True
 
     def __init__(self, rig: RigConfig, mode: str = "vil",
                  f_cap: int = 128, sc_capacity: int = 1024,
@@ -529,9 +578,12 @@ class VILFusionPipeline:
 
         rec: dict = dict(t=t, img=img, gen=self._gen, scan=None,
                          drift_R=None, drift_t=None)
+        if (self.FUSE_FRAMES and self.mode == "vil" and scan is not None
+                and mask is None):
+            return self._issue_frame_fused(rec, t, img, scan)
         with GLOBAL_TIMERS.timed("tracker"):
             self.tracker_state, obs = trk.track_step(
-                self.tracker_state, jnp.asarray(img, jnp.float32),
+                self.tracker_state, jnp.asarray(img),
                 jnp.float32(t), self.cam, self.tracker_cfg,
                 dyn_mask=None if mask is None else jnp.asarray(mask),
                 key=jax.random.PRNGKey(int(t * 1e3) & 0x7FFFFFFF))
@@ -581,6 +633,45 @@ class VILFusionPipeline:
                  rec["hr_ba"], rec["hr_bg"], rec["obs_ids"], rec["obs_dep"]]
         if rec["scan"] is not None:
             fetch += [rec["scan"][0], rec["scan"][1]]
+        for x in fetch:
+            x.copy_to_host_async()
+        rec["fetch"] = fetch
+        return rec
+
+    def _issue_frame_fused(self, rec, t, img, scan):
+        """One-dispatch steady-state vil frame (see _vil_frame_program)."""
+        import jax
+
+        est = self.estimator
+        _t_s, pts, val = scan
+        pts_dev = jnp.asarray(pts, jnp.float32)
+        val_dev = jnp.asarray(val)
+        acc, gyr, dts = self._imu_segment_for_frame(t)
+        acc_b, gyr_b, dt_b, n_imu = est._pack_imu(acc, gyr, dts)
+        tsh_scale = (self.rig.tr / self.rig.image_height
+                     if self.rig.rolling_shutter and self.rig.tr != 0.0
+                     else 0.0)
+        with GLOBAL_TIMERS.timed("vil_fused_frame"):
+            (self.tracker_state, self.lidar_state, est.window, est.feats,
+             est.pre, est.lidar, est.prior, out, lq, lp, obs_ids,
+             dep_dev) = _vil_frame_program(
+                self.tracker_state, self.lidar_state,
+                est.window, est.feats, est.pre, est.lidar, est.prior,
+                jnp.asarray(img), jnp.float32(t),
+                jax.random.PRNGKey(int(t * 1e3) & 0x7FFFFFFF),
+                pts_dev, val_dev,
+                jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
+                jnp.int32(n_imu),
+                self.q_il, self.t_il, self.q_li, self.t_li,
+                self.q_cl, self.t_cl, jnp.float32(tsh_scale),
+                self.cam, self.tracker_cfg, self.lidar_cfg, self.est_cfg)
+        rec["scan"] = (lq, lp, pts_dev, val_dev)
+        slot = est_mod.K - 2
+        rec.update(out=out, window=est.window, feats=est.feats,
+                   hr_ba=est.window.ba[slot], hr_bg=est.window.bg[slot],
+                   obs_ids=obs_ids, obs_dep=dep_dev)
+        fetch = [out["p"], out["q"], out["v"], out["cost"], out["failed"],
+                 rec["hr_ba"], rec["hr_bg"], obs_ids, dep_dev, lq, lp]
         for x in fetch:
             x.copy_to_host_async()
         rec["fetch"] = fetch
@@ -707,7 +798,7 @@ class VILFusionPipeline:
         # 1. visual tracking
         with GLOBAL_TIMERS.timed("tracker"):
             self.tracker_state, obs = trk.track_step(
-                self.tracker_state, jnp.asarray(img, jnp.float32),
+                self.tracker_state, jnp.asarray(img),
                 jnp.float32(t), self.cam, self.tracker_cfg,
                 dyn_mask=None if mask is None else jnp.asarray(mask),
                 key=jax.random.PRNGKey(int(t * 1e3) & 0x7FFFFFFF))
