@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Persistent compilation cache: the suite is compile-dominated (~30 min, most
+# of it XLA:CPU LLVM). Cached executables survive across pytest processes;
+# jax.clear_caches() below only drops the in-memory handles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

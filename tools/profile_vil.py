@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Honest per-stage device timing of the full vil pipeline on real hardware.
+
+Every stage is timed in a CHAINED loop — each call's carried state feeds the
+next call — so async dispatch / remote-tunnel artifacts cannot hide the real
+sequential cost (independent same-input calls can be overlapped or deduped by
+the runtime; a data-dependent chain cannot).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vil_fusion_tpu.models import estimator as est_mod
+from vil_fusion_tpu.models import lidar_features as lf
+from vil_fusion_tpu.models import lidar_odometry as lo
+from vil_fusion_tpu.models import tracker as trk
+from vil_fusion_tpu.models import depth_association
+from vil_fusion_tpu.runtime import sim
+from vil_fusion_tpu.runtime.config import RigConfig
+from vil_fusion_tpu.runtime.pipeline import VILFusionPipeline, _vil_frame_program
+
+
+def chained(name, step_fn, state0, n=20, warm=3):
+    """step_fn(state, i) -> state (device pytree). Chains state; blocks once."""
+    s = state0
+    for i in range(warm):
+        s = step_fn(s, i)
+    jax.block_until_ready(s)
+    s0 = s
+    t0 = time.perf_counter()
+    for i in range(n):
+        s = step_fn(s, i)
+    jax.block_until_ready(s)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"{name:40s} {ms:8.2f} ms", flush=True)
+    return s
+
+
+def main():
+    R_BC = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    H, W = 370, 1226
+    FX = FY = 718.856
+    CX, CY = 607.19, 185.22
+    rig = RigConfig(
+        name="kitti-bench",
+        camera=dict(model_type="PINHOLE",
+                    projection_parameters=dict(fx=FX, fy=FY, cx=CX, cy=CY),
+                    distortion_parameters=dict(k1=0.0, k2=0.0, p1=0.0, p2=0.0)),
+        image_height=H, image_width=W,
+        q_ic=sim.R_to_q(R_BC), t_ic=np.zeros(3),
+        q_cl=sim.R_to_q(R_BC.T), t_cl=np.zeros(3),
+        max_cnt=150, min_dist=30, n_scan=64,
+        lidar_fov_up=2.0, lidar_fov_down=-24.8, lidar_min_range=1.0,
+        lidar_max_range=80.0, use_lidar=True)
+    pipe = VILFusionPipeline(rig, mode="vil", sync_depth=2)
+
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=8.0))
+    frame_dt = 0.1
+    t0 = 1.0
+    q0, p0 = traj.pose(t0)
+    pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                     v=traj.velocity(t0))
+
+    frames = []
+    n_pre = 16
+    for i in range(n_pre):
+        t = t0 + i * frame_dt
+        imu = sim.simulate_imu(traj, t - frame_dt, t, 200.0) if i else None
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = np.asarray(sim.render_camera_image(
+            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W))
+        pts, val = sim.simulate_lidar_scan(
+            scene, R_wb, p_wb, n_scan=64, width=1800, fov_up_deg=2.0,
+            fov_down_deg=-24.8, max_range=80.0)
+        frames.append((t, imu, img, np.asarray(pts), np.asarray(val)))
+
+    # drive the pipeline to steady state so estimator window is full
+    for (t, imu, img, pts, val) in frames:
+        if imu is not None:
+            ts_i, acc, gyr = imu
+            for k in range(1, len(ts_i)):
+                pipe.push_imu(ts_i[k], acc[k], gyr[k])
+        pipe.push_scan(t, pts, val)
+        pipe.push_image(t, img)
+    while pipe._pending:
+        pipe._complete_frame(pipe._pending.pop(0))
+
+    imgs = [jnp.asarray(f[2]) for f in frames[-4:]]
+    scans = [(jnp.asarray(f[3], jnp.float32), jnp.asarray(f[4])) for f in frames[-4:]]
+    est = pipe.estimator
+    cam, tcfg, lcfg, ecfg = pipe.cam, pipe.tracker_cfg, pipe.lidar_cfg, pipe.est_cfg
+
+    # IMU buffers (fixed shapes)
+    t, imu, img, pts, val = frames[-1]
+    acc, gyr, dts = np.asarray(imu[1][1:]), np.asarray(imu[2][1:]), np.diff(imu[0])
+    acc_b, gyr_b, dt_b, n_imu = est._pack_imu(acc, gyr, dts)
+    acc_b, gyr_b, dt_b = jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b)
+
+    # 1. tracker chained
+    def trk_step(s, i):
+        s2, obs = trk.track_step(s, imgs[i % 4], jnp.float32(i * 0.1), cam,
+                                 tcfg, key=jax.random.PRNGKey(i))
+        return s2
+    chained("tracker.track_step", trk_step, pipe.tracker_state)
+
+    # 2. lidar odometry chained
+    def lid_step(s, i):
+        s2, _ = lo.odometry_step(s, *scans[i % 4], lcfg)
+        return s2
+    chained("lidar odometry_step", lid_step, pipe.lidar_state)
+
+    # 3. depth association chained (obs from tracker fixed; chain via dummy dep)
+    _, obs = trk.track_step(pipe.tracker_state, imgs[0], jnp.float32(0.0),
+                            cam, tcfg, key=jax.random.PRNGKey(0))
+    cloud_cam = jnp.asarray(np.random.randn(pts.shape[0], 3).astype(np.float32) * 10)
+
+    @jax.jit
+    def dep_step(carry, xy):
+        d, ok = depth_association.feature_depth(xy, obs["valid"], cloud_cam,
+                                                jnp.asarray(val))
+        return carry + d[:1] * 0
+    chained("depth_association", lambda s, i: dep_step(s, obs["xy"] + s[0] * 0),
+            jnp.zeros(1))
+
+    # 4. fused estimator step chained
+    st0 = (est.window, est.feats, est.pre, est.lidar, est.prior)
+
+    def est_step(s, i):
+        window, feats, pre, lidarc, prior = s
+        window, feats, pre, lidarc, prior, out = est_mod.fused_full_step(
+            window, feats, pre, lidarc, prior,
+            acc_b, gyr_b, dt_b, jnp.int32(len(dts)),
+            obs["ids"], obs["xy"], obs["vel"],
+            jnp.zeros((tcfg.cap,), jnp.float32), jnp.zeros((tcfg.cap,), jnp.float32),
+            jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.asarray(True), jnp.asarray(True), ecfg)
+        return (window, feats, pre, lidarc, prior)
+    chained("estimator fused_full_step", est_step, st0)
+
+    # 5. whole fused vil frame program chained
+    full0 = (pipe.tracker_state, pipe.lidar_state, est.window, est.feats,
+             est.pre, est.lidar, est.prior)
+
+    def full_step(s, i):
+        tracker_state, lidar_state, window, feats, pre, lidarc, prior = s
+        out = _vil_frame_program(
+            tracker_state, lidar_state, window, feats, pre, lidarc, prior,
+            imgs[i % 4], jnp.float32(i * 0.1), jax.random.PRNGKey(i),
+            *scans[i % 4],
+            acc_b, gyr_b, dt_b, jnp.int32(len(dts)),
+            pipe.q_il, pipe.t_il, pipe.q_li, pipe.t_li,
+            pipe.q_cl, pipe.t_cl, jnp.float32(0.0),
+            cam, tcfg, lcfg, ecfg)
+        return out[:7]
+    chained("FULL _vil_frame_program", full_step, full0)
+
+
+if __name__ == "__main__":
+    main()
