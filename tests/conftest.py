@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize hook (PALLAS_AXON_POOL_IPS set) imports jax at
+# interpreter startup — BEFORE this conftest — and registers the remote-TPU
+# backend, so the env var above can arrive too late and the whole suite
+# silently runs through the TPU tunnel (slow, and different f32 numerics).
+# The config knob still wins as long as no backend client was created.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the suite is compile-dominated (~30 min, most
 # of it XLA:CPU LLVM). Cached executables survive across pytest processes;
 # jax.clear_caches() below only drops the in-memory handles.
