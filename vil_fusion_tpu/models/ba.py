@@ -323,8 +323,18 @@ def schur_solve(sys: System, lam: jnp.ndarray, cfg: BAConfig):
     s = 1.0 / jnp.sqrt(jnp.abs(jnp.diag(Hs)) + 1e-10)
     Hn = Hs * s[:, None] * s[None, :]
     bn = bs * s
-    y = jnp.linalg.solve(Hn, bn)
-    y = y + jnp.linalg.solve(Hn, bn - Hn @ y)  # iterative refinement
+    # damped+preconditioned Hn is SPD: one Cholesky factorization, reused by
+    # the refinement step (jnp.linalg.solve would LU-factorize twice)
+    L = jnp.linalg.cholesky(Hn)
+    solve = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+    y = solve(bn)
+    y = y + solve(bn - Hn @ y)  # iterative refinement
+    # Cholesky fails only if damping underflowed the f32 SPD margin; fall
+    # back to the pivoted LU path for that iteration
+    bad = ~jnp.isfinite(L[-1, -1])
+    y = jnp.where(bad, jnp.linalg.solve(
+        jnp.where(bad, Hn + jnp.eye(Hn.shape[0], dtype=dtype) * 1e-6, Hn),
+        bn), y)
     delta = y * s
     delta_d = (sys.bd - sys.Hpd.T @ delta) * inv_Hd
     return delta, delta_d

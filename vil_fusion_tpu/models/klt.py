@@ -53,7 +53,13 @@ def track_pyramidal(
     iters: int = 10,
     levels: int = 4,
 ):
-    """Track pts from img1 to img2. Returns (new_pts (N, 2), status (N,))."""
+    """Track pts from img1 to img2. Returns (new_pts (N, 2), status (N,)).
+
+    `iters` is the budget at the COARSEST level; finer levels run a tapering
+    count (the coarse solve leaves sub-pixel residual motion, 3-5 Newton
+    steps absorb it — cv::TermCriteria(30, 0.01) converges in the same
+    range). The sequential gather rounds are the tracker's dominant device
+    cost, so the taper is a direct wall-clock cut."""
     dtype = img1.dtype
     pyr1 = im.build_pyramid(img1, levels)
     pyr2 = im.build_pyramid(img2, levels)
@@ -67,6 +73,8 @@ def track_pyramidal(
     dgrid = jnp.arange(S, dtype=dtype) - win_radius
 
     for lvl in range(levels - 1, -1, -1):
+        # taper: full budget at the coarsest level, >=4 at the finest
+        lvl_iters = max(iters - 2 * (levels - 1 - lvl), min(iters, 4))
         scale = 2.0 ** lvl
         p1_l = pts / scale
         Hl, Wl = pyr1[lvl].shape  # unpadded level dims for in-bounds masks
@@ -95,6 +103,10 @@ def track_pyramidal(
             ok = det > 1e-8
             inv = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-8), 0.0)
 
+            # NOTE: a convergence-gated lax.while_loop was tried here and
+            # measured 70% SLOWER than the fixed fori_loop on TPU — the
+            # opaque loop defeats XLA's unrolling/pipelining of the patch
+            # gathers and adds a cross-feature cond reduction per round.
             def body(_, p2):
                 cur = _patch(i2, p2, S, PAD)
                 e = (t - cur) * w * _wmask(p2)
@@ -104,7 +116,7 @@ def track_pyramidal(
                 dy = inv * (-gxy * bx + gxx * by)
                 return p2 + jnp.stack([dx, dy])
 
-            p2 = jax.lax.fori_loop(0, iters, body, g)
+            p2 = jax.lax.fori_loop(0, lvl_iters, body, g)
             return p2, ok
 
         guess, g_ok = jax.vmap(track_one)(p1_l, guess)
@@ -173,13 +185,17 @@ def ransac_fundamental(
 
     A = rows(n1, n2)  # (B, 8, 9)
     AtA = jnp.einsum("bri,brj->bij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[..., 0]  # (B, 9)
+    # nullspace via Cholesky inverse iteration (batched 9x9 eigh lowers to a
+    # long QR chain on TPU; this is one factorization + 4 triangular solves)
+    from vil_fusion_tpu.ops import linalg as fast_linalg
+
+    f = fast_linalg.smallest_eigvec_inverse_iteration(AtA)
     Fn = f.reshape(-1, 3, 3)
-    # rank-2 projection
-    U, S, Vt = jnp.linalg.svd(Fn)
-    S = S.at[:, 2].set(0.0)
-    Fn = U @ (S[:, :, None] * Vt)
+    # rank-2 projection without SVD: v3 = smallest right-singular vector
+    # (smallest eigenvector of F^T F, closed form), F2 = F (I - v3 v3^T)
+    _, v3 = fast_linalg.sym3x3_smallest(
+        jnp.einsum("bki,bkj->bij", Fn, Fn))
+    Fn = Fn - jnp.einsum("bij,bj,bk->bik", Fn, v3, v3)
     # denormalize: F = T2^T Fn T1  with T = [[s,0,-s cx],[0,s,-s cy],[0,0,1]]
     def make_T(c, s):
         B = c.shape[0]

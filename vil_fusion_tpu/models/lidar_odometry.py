@@ -55,6 +55,12 @@ class OdomConfig(NamedTuple):
     edge_hash_radius: int = 3  # +-3 cells @ 0.4 m = +-1.2 m
     surf_hash_radius: int = 2  # +-2 cells @ 0.8 m = +-1.6 m
     deskew: bool = False  # motion-compensate raw scans (models/deskew.py)
+    # Morton-sorted AABB-skipping kNN (knn_pallas_sparse). Default OFF:
+    # measured on v5e at these map caps (16k/32k), the dense kernel runs the
+    # full block scan FASTER than sparse skips it (0.63 vs 1.00 ms on the
+    # surf pass) and needs none of the four per-frame Morton argsorts. Turn
+    # on for map capacities well beyond 32k where skipped blocks dominate.
+    sparse_knn: bool = False
 
 
 class MapState(NamedTuple):
@@ -93,12 +99,14 @@ def _map_knn(pts_w, map_pts, map_valid, cfg: OdomConfig, res, radius, origin,
     if cfg.use_hash_knn and origin is not None:
         return hknn.hash_knn(pts_w, map_pts, map_valid, res, origin,
                              k=cfg.knn_k, radius=radius)
-    # correspondences are gated on d2[:, -1] < max_corr_dist^2 below, so the
-    # kNN only needs to be exact within that radius — this unlocks Morton
-    # AABB block skipping in the Pallas kernel (ops/pallas/knn_pallas.py)
-    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k,
-                       radius=cfg.max_corr_dist,
-                       q_sorted=presorted, db_sorted=presorted)
+    if cfg.sparse_knn:
+        # correspondences are gated on d2[:, -1] < max_corr_dist^2 below, so
+        # the kNN only needs to be exact within that radius — this unlocks
+        # Morton AABB block skipping (ops/pallas/knn_pallas.py)
+        return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k,
+                           radius=cfg.max_corr_dist,
+                           q_sorted=presorted, db_sorted=presorted)
+    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
 
 
 def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
@@ -134,14 +142,20 @@ def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
                        cfg.surf_hash_radius, origin, presorted)
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
-    # normal from A n = -1  (A = nn):  n = -(A^T A)^-1 A^T 1
-    AtA = jnp.einsum("nki,nkj->nij", nn, nn)
-    At1 = jnp.sum(nn, axis=1)
-    eye = jnp.eye(3, dtype=pts_w.dtype) * 1e-6
-    n = -jnp.linalg.solve(AtA + eye, At1[..., None])[..., 0]
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n_hat = n / jnp.maximum(norm, 1e-8)
-    d_off = 1.0 / jnp.maximum(norm[:, 0], 1e-8)
+    # TLS plane fit: normal = smallest eigenvector of the CENTERED 5-NN
+    # covariance (closed form, ops/linalg), offset d = -n.c. Replaces the
+    # reference's A n = -1 least squares (SurfCostFactor :174-206): same
+    # gate semantics, but (a) batched jnp.linalg.solve on thousands of 3x3
+    # systems went through the TPU LU library (slow), and (b) the n.p = -1
+    # parameterization is ill-conditioned far from the origin (|n| ~
+    # 1/dist), while the centered covariance is scale-free at any range.
+    from vil_fusion_tpu.ops.linalg import sym3x3_smallest
+
+    c = jnp.mean(nn, axis=1)  # (N, 3)
+    nc = nn - c[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", nc, nc)
+    _, n_hat = sym3x3_smallest(cov)
+    d_off = -jnp.einsum("ni,ni->n", n_hat, c)
     fit_res = jnp.abs(jnp.einsum("nki,ni->nk", nn, n_hat) + d_off[:, None])
     ok = ok & jnp.all(fit_res < cfg.plane_tol, axis=-1)
     # sanitize: ill-conditioned fits yield non-finite normals; 0 * NaN = NaN
@@ -206,7 +220,8 @@ def scan_to_map(
     # across the n_outer passes preserves coherence, so one Morton sort here
     # replaces a sort inside every kNN call. Order changes are internal —
     # only poses leave this function.
-    if not cfg.use_hash_knn and jax.default_backend() in ("tpu", "axon"):
+    if (cfg.sparse_knn and not cfg.use_hash_knn
+            and jax.default_backend() in ("tpu", "axon")):
         from vil_fusion_tpu.ops.pallas.knn_pallas import morton_sort
 
         ep = morton_sort(feats.edge, feats.edge_valid)

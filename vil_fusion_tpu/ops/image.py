@@ -39,10 +39,18 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray):
     return val, inb
 
 
+# Image convs explicitly opt OUT of the package-wide float32 matmul
+# precision (vil_fusion_tpu/__init__.py): bf16-input convs quantize 0..1
+# pixel values at 2^-8 — below the sensor's own 1/255 quantization (the
+# reference runs on uint8 images) — and the forced-f32 lowering measured
+# 3x slower across the tracker's conv stack on v5e.
+_FAST = jax.lax.Precision.DEFAULT
+
+
 def _conv2(img, kernel):
     return jax.lax.conv_general_dilated(
         img[None, None], kernel[None, None].astype(img.dtype),
-        window_strides=(1, 1), padding="SAME")[0, 0]
+        window_strides=(1, 1), padding="SAME", precision=_FAST)[0, 0]
 
 
 def sobel(img: jnp.ndarray):
@@ -56,9 +64,11 @@ def box_filter(img: jnp.ndarray, radius: int):
     """Sum over (2r+1)^2 window via two 1-D convolutions."""
     k = jnp.ones((2 * radius + 1,), img.dtype)
     tmp = jax.lax.conv_general_dilated(
-        img[None, None], k[None, None, None, :], (1, 1), "SAME")[0, 0]
+        img[None, None], k[None, None, None, :], (1, 1), "SAME",
+        precision=_FAST)[0, 0]
     return jax.lax.conv_general_dilated(
-        tmp[None, None], k[None, None, :, None], (1, 1), "SAME")[0, 0]
+        tmp[None, None], k[None, None, :, None], (1, 1), "SAME",
+        precision=_FAST)[0, 0]
 
 
 def avg_pool2(img: jnp.ndarray):
@@ -144,9 +154,38 @@ def detect_features(
     # quality gate relative to max response
     resp = jnp.where(resp > quality * jnp.max(resp), resp, -1.0)
     # min-dist NMS between new detections: local-max over min_dist window
-    pooled = max_pool_same(resp, min_dist // 2)
+    nms_r = min_dist // 2
+    pooled = max_pool_same(resp, nms_r)
     resp = jnp.where(resp >= pooled, resp, -1.0)
-    flat = resp.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_pts)
-    xy = jnp.stack([(idx % W).astype(img.dtype), (idx // W).astype(img.dtype)], axis=-1)
+    # top-k via per-tile reduction: NMS suppression is Chebyshev radius
+    # nms_r, so two survivors can never share a (nms_r x nms_r) tile
+    # (except exact ties) — per-tile max is exact, and the global top_k
+    # then runs over ~2k tile maxima instead of H*W pixels (a full-image
+    # lax.top_k was ~8 ms of the tracker's budget at KITTI size). Two-stage
+    # reduction keeping the wide axis minor — a (H/T, W/T, T, T) transpose
+    # measured 3x worse than the original top_k on TPU (T=15 minor dims
+    # fight the 8x128 lane layout).
+    T = max(nms_r, 1)
+    Hp = -(-H // T) * T
+    Wp = -(-W // T) * T
+    resp_p = jnp.pad(resp, ((0, Hp - H), (0, Wp - W)), constant_values=-1.0)
+    # stage 1: reduce rows within each tile-row band -> (Hp/T, Wp)
+    band = resp_p.reshape(Hp // T, T, Wp)
+    rmax = jnp.max(band, axis=1)
+    rarg = jnp.argmax(band, axis=1).astype(jnp.int32)  # row within band
+    # stage 2: reduce cols within each tile -> (Hp/T, Wp/T)
+    tile = rmax.reshape(Hp // T, Wp // T, T)
+    tmax = tile.reshape(Hp // T, Wp // T, T).max(axis=2)
+    carg = jnp.argmax(tile, axis=2).astype(jnp.int32)  # col within tile
+    gx = jnp.arange(Wp // T, dtype=jnp.int32)[None, :] * T + carg
+    gy = (jnp.arange(Hp // T, dtype=jnp.int32)[:, None] * T
+          + jnp.take_along_axis(rarg, gx, axis=1))
+    n_tiles = tmax.size
+    k = min(max_pts, n_tiles)
+    vals, sel = jax.lax.top_k(tmax.reshape(-1), k)
+    xy = jnp.stack([gx.reshape(-1)[sel].astype(img.dtype),
+                    gy.reshape(-1)[sel].astype(img.dtype)], axis=-1)
+    if k < max_pts:
+        xy = jnp.pad(xy, ((0, max_pts - k), (0, 0)))
+        vals = jnp.pad(vals, (0, max_pts - k), constant_values=-1.0)
     return xy, vals > 0

@@ -42,6 +42,84 @@ def sym3x3_eigvalsh(A):
     return jnp.where(iso[..., None], q[..., None], out)
 
 
+def solve3x3(A, b):
+    """Batched closed-form 3x3 solve by Cramer's rule (A (..., 3, 3),
+    b (..., 3)). jnp.linalg.solve LU-factorizes thousands of tiny systems
+    through the TPU linalg library; the adjugate form is ~15 fused VPU ops.
+    Singular A gives non-finite output — callers gate like they do for the
+    library solve."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / det
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + (a02 * a21 - a01 * a22) * b1 + (a01 * a12 - a02 * a11) * b2)
+    x1 = (c01 * b0 + (a00 * a22 - a02 * a20) * b1 + (a02 * a10 - a00 * a12) * b2)
+    x2 = (c02 * b0 + (a01 * a20 - a00 * a21) * b1 + (a00 * a11 - a01 * a10) * b2)
+    return jnp.stack([x0, x1, x2], axis=-1) * inv_det[..., None]
+
+
+def sym3x3_smallest(A):
+    """(eigvals ascending (..., 3), SMALLEST eigenvector (..., 3)) of a
+    symmetric 3x3 batch — same cross-product construction as
+    sym3x3_principal but at l_min (null direction of A - l_min I)."""
+    lams = sym3x3_eigvalsh(A)
+    l_min = lams[..., 0]
+    B = A - l_min[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0 = B[..., 0, :]
+    r1 = B[..., 1, :]
+    r2 = B[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where((n01 >= n02)[..., None] & (n01 >= n12)[..., None], c01,
+                     jnp.where((n02 >= n12)[..., None], c02, c12))
+    norm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    v = best / jnp.maximum(norm, 1e-12)
+    z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    v = jnp.where(norm > 1e-10, v, z)
+    return lams, v
+
+
+def smallest_eigvec_inverse_iteration(A, iters: int = 4, shift: float = 1e-6):
+    """Smallest eigenvector of each symmetric PSD (..., n, n) by inverse
+    iteration on one Cholesky factor (factor once, `iters` cheap triangular
+    solves). Replaces batched jnp.linalg.eigh on small normal matrices —
+    eigh lowers to a long iterative QR chain on TPU, ~4x the cost.
+
+    Assumes the smallest eigenvalue is well-separated (true for RANSAC
+    nullspace problems; degenerate hypotheses produce garbage vectors that
+    downstream consensus scoring rejects anyway)."""
+    import jax
+
+    n = A.shape[-1]
+    tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
+    M = A + (shift * jnp.maximum(tr, 1e-12) / n) * jnp.eye(n, dtype=A.dtype)
+    L = jnp.linalg.cholesky(M)
+    # NaN guard: indefinite/rank-deficient A (degenerate sample) -> identity
+    bad = ~jnp.isfinite(L[..., n - 1, n - 1])
+    L = jnp.where(bad[..., None, None], jnp.eye(n, dtype=A.dtype), L)
+    x = jnp.ones(A.shape[:-1], A.dtype)
+
+    def solve(x):
+        y = jax.scipy.linalg.solve_triangular(L, x[..., None], lower=True)
+        z = jax.scipy.linalg.solve_triangular(
+            L, y, lower=True, trans=1)[..., 0]
+        return z / jnp.maximum(
+            jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-30)
+
+    for _ in range(iters):
+        x = solve(x)
+    return x
+
+
 def sym3x3_principal(A):
     """(eigvals ascending (..., 3), principal eigenvector (..., 3)) of a
     symmetric 3x3 batch. Eigenvector by cross-product of rows of (A - l_max I)
