@@ -185,6 +185,17 @@ def _try(fn, retries=1, default=None):
 
 
 def main():
+    import os
+
+    import jax
+
+    # persistent compile cache: works through the remote-compile tunnel too
+    # (measured 14 s -> 0.3 s on re-runs); keeps driver bench runs from
+    # spending most of their wall clock recompiling unchanged programs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax_tpu")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     vil = _try(bench_vil_pipeline)
     lidar_fps = _try(bench_lidar_odometry, default=float("nan"))
     ba_iters_per_s = _try(bench_ba, default=float("nan"))

@@ -161,12 +161,16 @@ def triangulate(state: WindowState, feats: FeatureStore,
         w = ov.astype(obs.dtype)
         A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)  # (2K, 4)
         AtA = A.T @ A
-        _, vecs = jnp.linalg.eigh(AtA)
-        X = vecs[:, 0]
-        depth = X[2] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
-        return depth, jnp.sum(ov)
+        return AtA, jnp.sum(ov)
 
-    depth, n_obs = jax.vmap(per_feature)(feats.start, feats.obs, feats.obs_valid)
+    AtA, n_obs = jax.vmap(per_feature)(feats.start, feats.obs, feats.obs_valid)
+    # homogeneous point = nullspace of the batched 4x4 normal matrices;
+    # Cholesky inverse iteration instead of batched eigh (ops/linalg)
+    from vil_fusion_tpu.ops.linalg import smallest_eigvec_inverse_iteration
+
+    X = smallest_eigvec_inverse_iteration(AtA)
+    depth = X[:, 2] / jnp.where(jnp.abs(X[:, 3]) > 1e-12, X[:, 3], 1e-12)
+
     need = feats.active & (feats.inv_depth <= 0) & (n_obs >= 2) & ~feats.lidar_flag
     ok = need & (depth > min_depth) & jnp.isfinite(depth)
     inv_depth = jnp.where(ok, 1.0 / jnp.maximum(depth, min_depth), feats.inv_depth)

@@ -43,6 +43,26 @@ def _patch(img_padded, center, size: int, pad: int):
             + fx * fy * raw[1:, 1:])
 
 
+def _patch_stack(stack_padded, center, size: int, pad: int):
+    """Like _patch but over a (C, Hp, Wp) channel stack: ONE dynamic_slice
+    fetches all C planes (template + both gradients), cutting the dominant
+    per-feature gather count 3x at template-build time."""
+    r = size // 2
+    tl = center - r + pad
+    tl_i = jnp.floor(tl)
+    fx = tl[0] - tl_i[0]
+    fy = tl[1] - tl_i[1]
+    y0 = jnp.clip(tl_i[1].astype(jnp.int32), 0, stack_padded.shape[1] - size - 1)
+    x0 = jnp.clip(tl_i[0].astype(jnp.int32), 0, stack_padded.shape[2] - size - 1)
+    C = stack_padded.shape[0]
+    raw = jax.lax.dynamic_slice(stack_padded, (0, y0, x0),
+                                (C, size + 1, size + 1))
+    return ((1 - fx) * (1 - fy) * raw[:, :size, :size]
+            + fx * (1 - fy) * raw[:, :size, 1:]
+            + (1 - fx) * fy * raw[:, 1:, :size]
+            + fx * fy * raw[:, 1:, 1:])
+
+
 @functools.partial(jax.jit, static_argnames=("win_radius", "iters", "levels"))
 def track_pyramidal(
     img1: jnp.ndarray,
@@ -51,7 +71,7 @@ def track_pyramidal(
     valid: jnp.ndarray,  # (N,)
     win_radius: int = 10,  # 21x21 window like the reference
     iters: int = 10,
-    levels: int = 4,
+    levels: int = 3,  # cv::calcOpticalFlowPyrLK(21x21, 3) parity
 ):
     """Track pts from img1 to img2. Returns (new_pts (N, 2), status (N,)).
 
@@ -78,9 +98,8 @@ def track_pyramidal(
         scale = 2.0 ** lvl
         p1_l = pts / scale
         Hl, Wl = pyr1[lvl].shape  # unpadded level dims for in-bounds masks
-        i1 = epad(pyr1[lvl])
-        ix1 = epad(grads1[lvl][0])
-        iy1 = epad(grads1[lvl][1])
+        tpl_stack = jnp.stack([epad(pyr1[lvl]), epad(grads1[lvl][0]),
+                               epad(grads1[lvl][1])])
         i2 = epad(pyr2[lvl])
 
         def _wmask(p):
@@ -92,9 +111,7 @@ def track_pyramidal(
             return wy[:, None] * wx[None, :]
 
         def track_one(p1, g):
-            t = _patch(i1, p1, S, PAD)
-            gx = _patch(ix1, p1, S, PAD)
-            gy = _patch(iy1, p1, S, PAD)
+            t, gx, gy = _patch_stack(tpl_stack, p1, S, PAD)
             w = _wmask(p1)
             gxx = jnp.sum(w * gx * gx)
             gxy = jnp.sum(w * gx * gy)

@@ -119,10 +119,11 @@ def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     centroid = jnp.mean(nn, axis=1)
     centered = nn - centroid[:, None, :]
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / cfg.knn_k
+    from vil_fusion_tpu.ops.linalg import gram3, sym3x3_principal
+
+    cov = gram3(centered) / cfg.knn_k
     # closed-form symmetric 3x3 eigen-decomposition (iterative eigh on
     # thousands of tiny matrices is a TPU anti-pattern)
-    from vil_fusion_tpu.ops.linalg import sym3x3_principal
 
     lam, direction = sym3x3_principal(cov)
     ok = ok & (lam[:, 2] > cfg.edge_eig_ratio * lam[:, 1])
@@ -149,14 +150,15 @@ def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
     # systems went through the TPU LU library (slow), and (b) the n.p = -1
     # parameterization is ill-conditioned far from the origin (|n| ~
     # 1/dist), while the centered covariance is scale-free at any range.
-    from vil_fusion_tpu.ops.linalg import sym3x3_smallest
+    from vil_fusion_tpu.ops.linalg import gram3, sym3x3_smallest
 
     c = jnp.mean(nn, axis=1)  # (N, 3)
     nc = nn - c[:, None, :]
-    cov = jnp.einsum("nki,nkj->nij", nc, nc)
+    cov = gram3(nc)
     _, n_hat = sym3x3_smallest(cov)
-    d_off = -jnp.einsum("ni,ni->n", n_hat, c)
-    fit_res = jnp.abs(jnp.einsum("nki,ni->nk", nn, n_hat) + d_off[:, None])
+    d_off = -jnp.sum(n_hat * c, axis=-1)
+    fit_res = jnp.abs(jnp.sum(nn * n_hat[:, None, :], axis=-1)
+                      + d_off[:, None])
     ok = ok & jnp.all(fit_res < cfg.plane_tol, axis=-1)
     # sanitize: ill-conditioned fits yield non-finite normals; 0 * NaN = NaN
     # would poison the masked Hessian reduction downstream.

@@ -42,6 +42,24 @@ def sym3x3_eigvalsh(A):
     return jnp.where(iso[..., None], q[..., None], out)
 
 
+def gram3(x):
+    """(..., K, 3) -> (..., 3, 3) Gram matrix sum_k x_k x_k^T via explicit
+    elementwise products (6 unique entries). einsum("nki,nkj->nij") lowers
+    to batched tiny dot_generals on TPU — measured a large fraction of the
+    lidar correspondence pass; this form is pure VPU."""
+    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+    g00 = jnp.sum(x0 * x0, axis=-1)
+    g01 = jnp.sum(x0 * x1, axis=-1)
+    g02 = jnp.sum(x0 * x2, axis=-1)
+    g11 = jnp.sum(x1 * x1, axis=-1)
+    g12 = jnp.sum(x1 * x2, axis=-1)
+    g22 = jnp.sum(x2 * x2, axis=-1)
+    row0 = jnp.stack([g00, g01, g02], axis=-1)
+    row1 = jnp.stack([g01, g11, g12], axis=-1)
+    row2 = jnp.stack([g02, g12, g22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
 def solve3x3(A, b):
     """Batched closed-form 3x3 solve by Cramer's rule (A (..., 3, 3),
     b (..., 3)). jnp.linalg.solve LU-factorizes thousands of tiny systems

@@ -136,7 +136,7 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile",
                                               "interpret", "packed", "mxu"))
 def knn_pallas(queries, database, db_valid, k: int = 5,
-               q_tile: int = 512, db_tile: int = 4096, interpret: bool = False,
+               q_tile: int = 256, db_tile: int = 4096, interpret: bool = False,
                packed: bool = False, mxu: bool = False):
     """Drop-in for ops.knn.knn on TPU. queries (Nq, 3), database (Nd, 3).
 
@@ -418,7 +418,9 @@ def knn(queries, database, db_valid, k: int = 5, tile: int = 4096,
     """Dispatch: Pallas on TPU, XLA path elsewhere.
 
     tile=4096 measured 44% faster than 2048 on v5e (fewer top-k merge
-    rounds per pair; 512x4096 f32 distance block = 8 MB fits VMEM).
+    rounds per pair). Query tile is 256: a 512x4096 f32 distance block
+    (8 MB) pushed the kernel's scoped-VMEM footprint to 16.3 MB — right
+    past the 16 MB stack limit — OOMing in some surrounding programs.
 
     `radius`: if given, results are only guaranteed exact for neighbours
     within that distance (callers gating on d2 < radius^2 see identical
