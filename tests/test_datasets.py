@@ -142,6 +142,40 @@ def test_advio_reader(advio_fixture):
     np.testing.assert_allclose(p_gt[:, 0], 0.2 * np.arange(5))
 
 
+def test_advio_mask_stream_through_replay(advio_fixture):
+    """The reference's 4th executable workflow end-to-end: an ADVIO-style
+    stream (separate-clock IMU + frames + per-frame masks,
+    feature_tracker_node_mask.cpp:443-457 exact-stamp image<->mask sync)
+    driven through datasets.replay into the mask-gated pipeline — NOT direct
+    pipeline calls."""
+    from vil_fusion_tpu.runtime.config import RigConfig
+    from vil_fusion_tpu.runtime.pipeline import VILFusionPipeline
+
+    ds = datasets.ADVIO(advio_fixture)
+    rig = RigConfig(
+        name="advio-test",
+        camera=dict(model_type="PINHOLE",
+                    projection_parameters=dict(fx=40.0, fy=40.0, cx=32.0, cy=24.0),
+                    distortion_parameters=dict(k1=0.0, k2=0.0, p1=0.0, p2=0.0)),
+        image_height=48, image_width=64, max_cnt=20, min_dist=8,
+        q_ic=np.array([1.0, 0, 0, 0]), t_ic=np.zeros(3),
+        use_lidar=False)
+    pipe = VILFusionPipeline(rig, mode="mask")
+    seen_masks = []
+    orig_push = pipe.push_image
+
+    def spy_push(t, img, mask=None):
+        seen_masks.append(mask is not None)
+        return orig_push(t, img, mask=mask)
+
+    pipe.push_image = spy_push
+    datasets.replay(pipe, ds.events())
+    # all 3 frames processed; the mask shipped for frame 1 reached the
+    # pipeline through the replay transport (others are mask-less VIO)
+    assert len(pipe.outputs.ts) == 3
+    assert seen_masks == [False, True, False]
+
+
 def test_all_shipped_rigs_load():
     """Every rig the reference ships (config/{kitti,euroc,daheng,iphone,
     mynteye}) must load (C16 parity), with per-rig key facts intact."""

@@ -169,3 +169,61 @@ def test_batched_odometry_matches_sequential(mesh):
     np.testing.assert_allclose(np.asarray(out[1][3]), np.asarray(out_ref[1]),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(states.p[3]), np.asarray(st.p), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pipeline_sharded_ba_deployed_e2e(mesh):
+    """Multi-chip as a DEPLOYED mode, not only a solver capability: the full
+    VILFusionPipeline driven for ~30 steady frames with
+    ba_overrides={"sharded": True} on the 8-device mesh must reproduce the
+    unsharded pipeline's trajectory (VERDICT r3 item 8)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import make_rig, R_BC, FX, FY, CX, CY, H, W
+    from vil_fusion_tpu.runtime import sim
+    from vil_fusion_tpu.runtime.pipeline import VILFusionPipeline
+
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=1.5))
+    frame_dt, imu_rate, n_frames, t0 = 0.1, 200.0, 28, 1.0
+
+    frames = []
+    for i in range(n_frames):
+        t = t0 + i * frame_dt
+        imu = sim.simulate_imu(traj, t - frame_dt, t, imu_rate) if i else None
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = np.asarray(sim.render_camera_image(
+            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W))
+        pts, val = sim.simulate_lidar_scan(
+            scene, R_wb, p_wb, n_scan=32, width=900, fov_up_deg=30.0,
+            fov_down_deg=-30.0, max_range=80.0)
+        frames.append((t, imu, img, np.asarray(pts), np.asarray(val)))
+
+    def drive(ba_overrides):
+        pipe = VILFusionPipeline(make_rig(), mode="vil",
+                                 ba_overrides=ba_overrides)
+        q0, p0 = traj.pose(t0)
+        pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                         v=traj.velocity(t0))
+        for (t, imu, img, pts, val) in frames:
+            if imu is not None:
+                ts_i, acc, gyr = imu
+                for k in range(1, len(ts_i)):
+                    pipe.push_imu(ts_i[k], acc[k], gyr[k])
+            pipe.push_scan(t, pts, val)
+            pipe.push_image(t, img)
+        pipe.finalize()
+        assert pipe.restarts == 0
+        return np.asarray(pipe.outputs.vio_p)
+
+    mesh_mod.set_active_mesh(mesh)
+    try:
+        p_sharded = drive({"sharded": True})
+    finally:
+        mesh_mod.set_active_mesh(None)
+    p_ref = drive(None)
+    assert len(p_sharded) == len(p_ref) == n_frames
+    # same trajectory to solver-noise level (psum reduction order compounds
+    # through 28 frames of accept/reject LM + marginalization)
+    np.testing.assert_allclose(p_sharded, p_ref, atol=2e-2)

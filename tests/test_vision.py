@@ -128,6 +128,44 @@ def test_klt_recovers_known_shift():
     assert np.abs(flow - flow.mean(0)).max() < 1.0
 
 
+def test_klt_taper_quality_guard():
+    """Accuracy contract for the round-3 KLT speedups (taper + 3 levels):
+    on a HIGH-FREQUENCY texture at KITTI-scale motion (~20 px/frame at
+    10 Hz), the deployed configuration must match the full-budget reference
+    (iters=10 at every level, 4 levels) in survival rate and endpoint error.
+    Guards against the taper silently degrading tracking on hard imagery —
+    which would degrade ATE without failing any functional test."""
+    H, W = 370, 1226  # KITTI frame
+    # (texture scale, motion): near-Nyquist texture at moderate motion, and
+    # coarser texture at large motion — 24 px on scale-3 texture is beyond
+    # ANY config's aliasing limit (both fail equally), so each scene stays
+    # within the reference config's physical envelope
+    for scale, shift in [(3, (18.0, 5.0)), (6, (-24.0, -8.0))]:
+        tex = smooth_texture(H, W, seed=11, scale=scale)
+        img1 = jnp.asarray(render(tex, H, W))
+        img2 = jnp.asarray(render(tex, H, W, shift=shift))
+        xy, valid = im.detect_features(img1, jnp.zeros((1, 2)),
+                                       jnp.zeros(1, bool),
+                                       max_pts=150, min_dist=30)
+        true_flow = np.array([-shift[0], -shift[1]])
+
+        def run(**kw):
+            pts2, status = klt.track_pyramidal(img1, img2, xy, valid, **kw)
+            ok = np.asarray(status)
+            err = np.linalg.norm(
+                (np.asarray(pts2) - np.asarray(xy))[ok] - true_flow, axis=-1)
+            return ok.sum(), (np.median(err) if ok.sum() else np.inf)
+
+        n_ref, err_ref = run(iters=10, levels=4, taper=False)
+        n_tap, err_tap = run()  # deployed defaults
+        assert n_ref > 40, f"reference config tracked only {n_ref}"
+        # survival within 10% of the full-budget configuration
+        assert n_tap >= 0.9 * n_ref, (n_tap, n_ref, shift)
+        # median endpoint error within 0.2 px of the reference config
+        assert err_tap <= err_ref + 0.2, (err_tap, err_ref, shift)
+        assert err_tap < 0.75, (err_tap, shift)
+
+
 def test_ransac_fundamental_rejects_outliers():
     rng = np.random.default_rng(5)
     n = 200

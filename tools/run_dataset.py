@@ -28,7 +28,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", choices=["kitti", "kitti_raw", "euroc"],
+    ap.add_argument("--dataset",
+                    choices=["kitti", "kitti_raw", "euroc", "advio"],
                     required=True)
     ap.add_argument("--data", required=True, help="dataset root")
     ap.add_argument("--seq", default="07", help="KITTI sequence")
@@ -55,6 +56,12 @@ def main():
         ds = datasets.KittiOdometry(args.data, args.seq)
     elif args.dataset == "kitti_raw":
         ds = datasets.KittiRaw(args.data)
+    elif args.dataset == "advio":
+        # the mask-variant dataset (reference README.md:75-84; the 4th
+        # executable feature_tracker_node_mask.cpp pairs each frame with its
+        # Mask-RCNN mask) — masks under iphone/masks/ flow through replay()
+        # into push_image(mask=...) and gate the tracker in mode="mask"
+        ds = datasets.ADVIO(args.data)
     else:
         ds = datasets.EuRoC(args.data)
 
@@ -72,7 +79,7 @@ def main():
         ini = np.asarray(pipe.outputs.initialized, bool)
         est_p = np.asarray(pipe.outputs.vio_p)
         ts = np.asarray(pipe.outputs.ts)
-        if args.dataset == "euroc":
+        if args.dataset in ("euroc", "advio"):
             t_gt, p_gt, _ = gt
             ia, ib = tum.associate(ts[ini], t_gt, 0.02)
             report["ate_rmse_vio"] = tum.ate_rmse(est_p[ini][ia], p_gt[ib])

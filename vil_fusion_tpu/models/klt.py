@@ -63,7 +63,8 @@ def _patch_stack(stack_padded, center, size: int, pad: int):
             + fx * fy * raw[:, 1:, 1:])
 
 
-@functools.partial(jax.jit, static_argnames=("win_radius", "iters", "levels"))
+@functools.partial(jax.jit,
+                   static_argnames=("win_radius", "iters", "levels", "taper"))
 def track_pyramidal(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -71,15 +72,19 @@ def track_pyramidal(
     valid: jnp.ndarray,  # (N,)
     win_radius: int = 10,  # 21x21 window like the reference
     iters: int = 10,
-    levels: int = 3,  # cv::calcOpticalFlowPyrLK(21x21, 3) parity
+    levels: int = 4,  # cv::calcOpticalFlowPyrLK(21x21, maxLevel=3) = levels 0..3
+    taper: bool = True,
 ):
     """Track pts from img1 to img2. Returns (new_pts (N, 2), status (N,)).
 
-    `iters` is the budget at the COARSEST level; finer levels run a tapering
-    count (the coarse solve leaves sub-pixel residual motion, 3-5 Newton
-    steps absorb it — cv::TermCriteria(30, 0.01) converges in the same
-    range). The sequential gather rounds are the tracker's dominant device
-    cost, so the taper is a direct wall-clock cut."""
+    `iters` is the budget at the COARSEST level; with `taper` (deployed
+    default) finer levels run a tapering count (the coarse solve leaves
+    sub-pixel residual motion, 3-5 Newton steps absorb it —
+    cv::TermCriteria(30, 0.01) converges in the same range). The sequential
+    gather rounds are the tracker's dominant device cost, so the taper is a
+    direct wall-clock cut. `taper=False` runs the full budget at every level
+    (the accuracy-reference configuration the quality-guard test compares
+    against, tests/test_vision.py::test_klt_taper_quality_guard)."""
     dtype = img1.dtype
     pyr1 = im.build_pyramid(img1, levels)
     pyr2 = im.build_pyramid(img2, levels)
@@ -94,7 +99,8 @@ def track_pyramidal(
 
     for lvl in range(levels - 1, -1, -1):
         # taper: full budget at the coarsest level, >=4 at the finest
-        lvl_iters = max(iters - 2 * (levels - 1 - lvl), min(iters, 4))
+        lvl_iters = (max(iters - 2 * (levels - 1 - lvl), min(iters, 4))
+                     if taper else iters)
         scale = 2.0 ** lvl
         p1_l = pts / scale
         Hl, Wl = pyr1[lvl].shape  # unpadded level dims for in-bounds masks

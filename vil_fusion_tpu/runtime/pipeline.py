@@ -215,7 +215,8 @@ class VILFusionPipeline:
     def __init__(self, rig: RigConfig, mode: str = "vil",
                  f_cap: int = 128, sc_capacity: int = 1024,
                  visual_loop: bool = False, gf_cfg=None, vl_cfg=None,
-                 odom_overrides: Optional[dict] = None, sync_depth: int = 0):
+                 odom_overrides: Optional[dict] = None, sync_depth: int = 0,
+                 ba_overrides: Optional[dict] = None):
         self.rig = rig
         self.mode = mode
         self.cam = cam_mod.from_config(rig.camera)
@@ -244,13 +245,17 @@ class VILFusionPipeline:
 
         from vil_fusion_tpu.models.imu import ImuNoise
 
+        # ba_overrides: deployment-mode BAConfig fields the rig YAML doesn't
+        # carry — e.g. {"sharded": True} runs the LM loop landmark-sharded
+        # over parallel.mesh.set_active_mesh()'s mesh (multi-chip deployment)
         self.est_cfg = est_mod.EstimatorConfig(
             ba=ba.BAConfig(
                 use_lidar=use_lidar and mode == "vil",
                 max_iters=rig.max_num_iterations,
                 estimate_td=rig.estimate_td,
                 estimate_extrinsic=rig.estimate_extrinsic,
-                gravity=(0.0, 0.0, rig.g_norm)),
+                gravity=(0.0, 0.0, rig.g_norm),
+                **(ba_overrides or {})),
             f_cap=f_cap, obs_cap=max(256, f_cap),  # == tracker cap (device handoff)
             imu_noise=ImuNoise(rig.acc_n, rig.gyr_n, rig.acc_w, rig.gyr_w),
             min_parallax=rig.keyframe_parallax / 460.0)
