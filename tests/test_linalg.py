@@ -27,3 +27,22 @@ def test_sym3x3_degenerate():
     assert np.all(np.isfinite(np.asarray(lam)))
     assert np.all(np.isfinite(np.asarray(v)))
     np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1), 1.0, atol=1e-5)
+
+
+def test_solve_spd_unrolled_matches_library():
+    from vil_fusion_tpu.ops.linalg import solve_spd_unrolled
+
+    rng = np.random.default_rng(7)
+    for n in (3, 6, 9):
+        # batched SPD systems with realistic GN conditioning
+        J = rng.normal(size=(64, 2 * n, n)).astype(np.float32)
+        A = np.einsum("bki,bkj->bij", J, J) + 1e-3 * np.eye(n, dtype=np.float32)
+        b = rng.normal(size=(64, n)).astype(np.float32)
+        x = np.asarray(solve_spd_unrolled(jnp.asarray(A), jnp.asarray(b)))
+        x_ref = np.linalg.solve(A.astype(np.float64),
+                                b.astype(np.float64)[..., None])[..., 0]
+        np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-3)
+    # single (unbatched) system
+    A1 = A[0]
+    x1 = np.asarray(solve_spd_unrolled(jnp.asarray(A1), jnp.asarray(b[0])))
+    np.testing.assert_allclose(x1, x_ref[0], rtol=2e-3, atol=2e-3)

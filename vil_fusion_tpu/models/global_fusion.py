@@ -13,6 +13,7 @@ device-resident store for submap assembly.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -25,12 +26,31 @@ from vil_fusion_tpu.models import scancontext as sc
 from vil_fusion_tpu.ops import lie
 
 
-@jax.jit
-def _node_glue(q_prev_kf, p_prev_kf, q_odom, p_odom, q_graph_prev, p_graph_prev):
-    """Odometry edge + absolute init estimate in one dispatch."""
-    q_rel, p_rel = lie.pose_between((q_prev_kf, p_prev_kf), (q_odom, p_odom))
-    q_abs, p_abs = lie.pose_compose((q_graph_prev, p_graph_prev), (q_rel, p_rel))
-    return q_rel, p_rel, q_abs, p_abs
+@functools.partial(jax.jit, static_argnames=("first",))
+def _keyframe_program(graph, db, clouds, cloud_valid, q_prev_kf, p_prev_kf,
+                      q_dev, p_dev, pts, val, i, first):
+    """The ENTIRE keyframe hot path as ONE device program: odometry-edge
+    glue + graph node append + ScanContext insert/detect + cloud subsample/
+    store. The host-orchestrated version paid ~7 dispatch enqueues per
+    keyframe — 43 ms measured through the remote tunnel vs ~7 ms fused —
+    which at urban keyframe rates (1 per 2-3 frames) was the largest
+    NON-compute cost of the deployed vil loop."""
+    if first:
+        q_rel = jnp.asarray([1.0, 0, 0, 0], clouds.dtype)
+        p_rel = jnp.zeros(3, clouds.dtype)
+        q_abs, p_abs = q_dev, p_dev
+    else:
+        q_rel, p_rel = lie.pose_between((q_prev_kf, p_prev_kf), (q_dev, p_dev))
+        q_abs, p_abs = lie.pose_compose((graph.q[i - 1], graph.p[i - 1]),
+                                        (q_rel, p_rel))
+    graph = pg.add_node(graph, q_abs, p_abs, q_rel, p_rel)
+    desc = sc.make_descriptor(pts, val)
+    db = sc.add_keyframe(db, desc)
+    cand, dist, shift = sc.detect_loop(db, desc)
+    idx = jnp.linspace(0, pts.shape[0] - 1, clouds.shape[1]).astype(jnp.int32)
+    clouds = clouds.at[i].set(pts[idx])
+    cloud_valid = cloud_valid.at[i].set(val[idx])
+    return graph, db, clouds, cloud_valid, cand, dist, shift
 
 
 @jax.jit
@@ -139,38 +159,26 @@ class GlobalFusion:
         p_np = np.asarray(p_odom, np.float32)
         if not self.is_keyframe(q_np, p_np):
             return None
-        self.last_q = q_np
-        self.last_p = p_np
         cfg = self.cfg
         i = self.n_kf
         if i >= cfg.node_capacity:
             return None  # graph full
 
-        q_dev = jnp.asarray(q_np, self.dtype)
-        p_dev = jnp.asarray(p_np, self.dtype)
-        # odometry edge from previous keyframe
-        if i == 0:
-            q_rel = jnp.array([1.0, 0, 0, 0], self.dtype)
-            p_rel = jnp.zeros(3, self.dtype)
-            q_abs, p_abs = q_dev, p_dev
-        else:
-            q_rel, p_rel, q_abs, p_abs = _node_glue(
-                jnp.asarray(self.kf_q_odom[-1], self.dtype),
-                jnp.asarray(self.kf_p_odom[-1], self.dtype),
-                q_dev, p_dev, self.graph.q[i - 1], self.graph.p[i - 1])
-        self.graph = pg.add_node(self.graph, q_abs, p_abs, q_rel, p_rel)
+        # one fused dispatch: edge glue + node append + SC insert/detect +
+        # cloud subsample/store (loopDetection :598-615 + addOdomFactor)
+        (self.graph, self.scdb, self.clouds, self.cloud_valid, cand, dist,
+         shift) = _keyframe_program(
+            self.graph, self.scdb, self.clouds, self.cloud_valid,
+            jnp.asarray(self.last_q if i else q_np, self.dtype),
+            jnp.asarray(self.last_p if i else p_np, self.dtype),
+            jnp.asarray(q_np, self.dtype), jnp.asarray(p_np, self.dtype),
+            jnp.asarray(scan_points, self.dtype), jnp.asarray(scan_valid),
+            jnp.int32(i), i == 0)
+        self.last_q = q_np
+        self.last_p = p_np
         self.kf_q_odom.append(q_np)
         self.kf_p_odom.append(p_np)
         self.kf_ts.append(float(t) if t is not None else float(i))
-
-        # store downsampled cloud + descriptor + loop query — one fused
-        # device call (loopDetection :598-615)
-        pts = jnp.asarray(scan_points, self.dtype)
-        val = jnp.asarray(scan_valid)
-        self.scdb, cand, dist, shift = _sc_insert_and_detect(self.scdb, pts, val)
-        sel = self._subsample(pts, val, cfg.cloud_capacity)
-        self.clouds = self.clouds.at[i].set(sel[0])
-        self.cloud_valid = self.cloud_valid.at[i].set(sel[1])
         self.n_kf += 1
 
         # start the host copy of this keyframe's loop query NOW; resolve
@@ -197,6 +205,22 @@ class GlobalFusion:
             self.graph = pg.optimize_bucketed(self.graph, self.n_kf)
             self._pending_opt = 0
         return result
+
+    def prewarm(self) -> None:
+        """Compile the RARE-EVENT device programs (ICP loop verification,
+        graph relaxation) before deployment enters its steady state. Their
+        first dispatch is gate-dependent (first ScanContext hit / first
+        accepted loop), and a cold-cache compile (13-18 s measured through
+        the remote-compile tunnel) landing mid-run blows the frame budget —
+        exactly how the round-3 bench shipped a 43% regression. Requires at
+        least one keyframe; discards all side effects except the compiles."""
+        if self.n_kf < 1:
+            return
+        self._dispatch_icp(self.n_kf - 1, max(self.n_kf - 2, 0), 0.0)
+        pend = self._pending_icp.pop()  # compile side effect only
+        jax.block_until_ready(pend[4])
+        g = pg.optimize_bucketed(self.graph, self.n_kf)
+        jax.block_until_ready(g.p)
 
     def _poll_sc(self, block: bool = False) -> Optional[tuple]:
         """Resolve every queued loop query whose host copy has landed

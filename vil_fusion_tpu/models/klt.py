@@ -91,11 +91,20 @@ def track_pyramidal(
     grads1 = [im.sobel(p) for p in pyr1]
 
     S = 2 * win_radius + 1
-    PAD = win_radius + 2
+    # region margin for the gather-free refinement levels: after the coarser
+    # level converged and its estimate was upsampled, the residual motion at
+    # the next level is a few px; M bounds it. A residual beyond M clamps the
+    # sampling offset -> the track fails the final appearance check instead
+    # of silently diverging (held by test_klt_taper_quality_guard).
+    M = 5
+    SR = S + 2 * M + 1  # region side (=32 at the default win_radius 10)
+    PAD = win_radius + M + 2
     epad = lambda a: jnp.pad(a, PAD, mode="edge")
     guess = pts / (2.0 ** (levels - 1))
 
     dgrid = jnp.arange(S, dtype=dtype) - win_radius
+    sgrid = jnp.arange(S, dtype=dtype)
+    rgrid = jnp.arange(SR, dtype=dtype)
 
     for lvl in range(levels - 1, -1, -1):
         # taper: full budget at the coarsest level, >=4 at the finest
@@ -116,7 +125,7 @@ def track_pyramidal(
             wy = ((p[1] + dgrid >= 0) & (p[1] + dgrid <= Hl - 1.001)).astype(dtype)
             return wy[:, None] * wx[None, :]
 
-        def track_one(p1, g):
+        def _template(p1):
             t, gx, gy = _patch_stack(tpl_stack, p1, S, PAD)
             w = _wmask(p1)
             gxx = jnp.sum(w * gx * gx)
@@ -125,22 +134,64 @@ def track_pyramidal(
             det = gxx * gyy - gxy * gxy
             ok = det > 1e-8
             inv = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-8), 0.0)
+            return t, gx, gy, w, gxx, gxy, gyy, inv, ok
 
+        def _newton(t, gx, gy, w, gxx, gxy, gyy, inv, cur, wm2):
+            e = (t - cur) * w * wm2
+            bx = jnp.sum(gx * e)
+            by = jnp.sum(gy * e)
+            dx = inv * (gyy * bx - gxy * by)
+            dy = inv * (-gxy * bx + gxx * by)
+            return jnp.stack([dx, dy])
+
+        if lvl == levels - 1:
+            # coarsest level: the initial displacement is unbounded, so the
+            # current patch is re-gathered from the image every iteration.
             # NOTE: a convergence-gated lax.while_loop was tried here and
             # measured 70% SLOWER than the fixed fori_loop on TPU — the
             # opaque loop defeats XLA's unrolling/pipelining of the patch
             # gathers and adds a cross-feature cond reduction per round.
-            def body(_, p2):
-                cur = _patch(i2, p2, S, PAD)
-                e = (t - cur) * w * _wmask(p2)
-                bx = jnp.sum(gx * e)
-                by = jnp.sum(gy * e)
-                dx = inv * (gyy * bx - gxy * by)
-                dy = inv * (-gxy * bx + gxx * by)
-                return p2 + jnp.stack([dx, dy])
+            def track_one(p1, g):
+                t, gx, gy, w, gxx, gxy, gyy, inv, ok = _template(p1)
 
-            p2 = jax.lax.fori_loop(0, lvl_iters, body, g)
-            return p2, ok
+                def body(_, p2):
+                    cur = _patch(i2, p2, S, PAD)
+                    return p2 + _newton(t, gx, gy, w, gxx, gxy, gyy, inv,
+                                        cur, _wmask(p2))
+
+                p2 = jax.lax.fori_loop(0, lvl_iters, body, g)
+                return p2, ok
+        else:
+            # refinement levels: ONE region gather per feature, then every
+            # Newton iteration samples the window by bilinear interpolation
+            # MATMULS against the in-register region — the per-iteration
+            # image gathers (the tracker's dominant device cost: random
+            # 22x22 slices are latency-bound at ~2 GB/s effective) never
+            # happen here. cur = Wy @ R @ Wx^T with banded (S, SR) weights.
+            def track_one(p1, g):
+                t, gx, gy, w, gxx, gxy, gyy, inv, ok = _template(p1)
+                tl = jnp.floor(g - win_radius - M)  # region top-left (x, y)
+                ry = jnp.clip(tl[1].astype(jnp.int32) + PAD, 0,
+                              i2.shape[0] - SR - 1)
+                rx = jnp.clip(tl[0].astype(jnp.int32) + PAD, 0,
+                              i2.shape[1] - SR - 1)
+                R = jax.lax.dynamic_slice(i2, (ry, rx), (SR, SR))
+                anchor = jnp.stack([(rx - PAD).astype(dtype),
+                                    (ry - PAD).astype(dtype)])
+
+                def body(_, p2):
+                    off = jnp.clip(p2 - win_radius - anchor, 0.0, 2.0 * M + 0.999)
+                    Wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(rgrid[None, :] - (off[0] + sgrid[:, None])))
+                    Wy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(rgrid[None, :] - (off[1] + sgrid[:, None])))
+                    cur = Wy @ R @ Wx.T
+                    p2c = anchor + off + win_radius  # clamped effective pos
+                    return p2 + _newton(t, gx, gy, w, gxx, gxy, gyy, inv,
+                                        cur, _wmask(p2c))
+
+                p2 = jax.lax.fori_loop(0, lvl_iters, body, g)
+                return p2, ok
 
         guess, g_ok = jax.vmap(track_one)(p1_l, guess)
         if lvl > 0:

@@ -256,7 +256,11 @@ def scan_to_map(
                 q, p, feats.edge, e_cent, e_dir, e_ok.astype(p.dtype),
                 feats.surf, s_n, s_d, s_ok.astype(p.dtype), cfg)
             H = H + cfg.lm_lambda * jnp.eye(6, dtype=p.dtype) * (1.0 + jnp.diag(H))
-            delta = jnp.linalg.solve(H, b)
+            # damped H is SPD: unrolled scalar Cholesky instead of the LU
+            # custom call (8 library solves per frame were latency, not math)
+            from vil_fusion_tpu.ops.linalg import solve_spd_unrolled
+
+            delta = solve_spd_unrolled(H, b)
             # trust clip: cap step at 1 m / ~0.5 rad to survive bad inits
             delta = jnp.clip(delta, -1.0, 1.0)
             return lie.pose_retract((q, p), delta)

@@ -88,7 +88,7 @@ def track_step(
         img = img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     dtype = img.dtype
     if cfg.use_clahe:
-        img_p = im.clahe_like(img)
+        img_p = im.clahe(img)
     else:
         img_p = img
     if key is None:

@@ -163,3 +163,43 @@ def sym3x3_principal(A):
     z = jnp.zeros_like(v).at[..., 2].set(1.0)
     v = jnp.where(norm > 1e-10, v, z)
     return lams, v
+
+
+def solve_spd_unrolled(A, b):
+    """x = A^{-1} b for small SPD systems (n <= ~12, n static) via a fully
+    UNROLLED scalar Cholesky + two triangular solves, batched over leading
+    dims. On TPU a 6x6 jnp.linalg.solve dispatches the general LU custom
+    call (pivoting, blocked paths built for large matrices) — a latency-
+    bound library detour inside tight GN loops (scan_to_map runs 8 solves
+    per frame). The unrolled form is ~n^3/3 scalar fmas that XLA fuses
+    straight into the surrounding loop body.
+
+    A must be SPD (callers damp their normal matrices); a non-positive pivot
+    is clamped, yielding a finite (if inexact) step that the caller's
+    accept/reject or trust-region logic absorbs."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = d
+        for i in range(j + 1, n):
+            s2 = A[..., i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 / d
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)

@@ -222,8 +222,14 @@ class VILFusionPipeline:
         self.cam = cam_mod.from_config(rig.camera)
         use_lidar = mode in ("vil", "lidar")
 
+        # feature capacity: max_cnt live tracks + headroom for churn, rounded
+        # to a lane-friendly multiple of 64. The old fixed 256 carried 106
+        # dead slots through every KLT gather round at the default
+        # max_cnt=150 — the tracker's cost is linear in cap (sequential
+        # patch gathers), so shaving slack is a direct wall-clock cut.
+        cap = max(-(-int(rig.max_cnt * 1.25) // 64) * 64, f_cap)
         self.tracker_cfg = trk.TrackerConfig(
-            max_cnt=rig.max_cnt, min_dist=rig.min_dist, cap=max(256, f_cap),
+            max_cnt=rig.max_cnt, min_dist=rig.min_dist, cap=cap,
             use_clahe=rig.equalize, f_thresh_px=rig.f_threshold,
             mask_gate=(mode == "mask"))
         self.tracker_state = trk.init_tracker(rig.image_height, rig.image_width,
@@ -256,7 +262,7 @@ class VILFusionPipeline:
                 estimate_extrinsic=rig.estimate_extrinsic,
                 gravity=(0.0, 0.0, rig.g_norm),
                 **(ba_overrides or {})),
-            f_cap=f_cap, obs_cap=max(256, f_cap),  # == tracker cap (device handoff)
+            f_cap=f_cap, obs_cap=cap,  # == tracker cap (device handoff)
             imu_noise=ImuNoise(rig.acc_n, rig.gyr_n, rig.acc_w, rig.gyr_w),
             min_parallax=rig.keyframe_parallax / 460.0)
         self.estimator = est_mod.VILEstimator(self.est_cfg)
