@@ -178,7 +178,8 @@ def bench_vil_pipeline(n_frames=40, warmup=26):
         max_cnt=150, min_dist=30, n_scan=64,
         lidar_fov_up=2.0, lidar_fov_down=-24.8, lidar_min_range=1.0,
         lidar_max_range=80.0, use_lidar=True)
-    pipe = VILFusionPipeline(rig, mode="vil", sync_depth=2)
+    pipe = VILFusionPipeline(rig, mode="vil", sync_depth=2,
+                         scan_quant=0.0025)
 
     scene = sim.RaycastScene()
     traj = sim.Trajectory(sim.TrajectoryConfig(speed=8.0))  # urban KITTI pace
@@ -196,8 +197,11 @@ def bench_vil_pipeline(n_frames=40, warmup=26):
         imu = sim.simulate_imu(traj, t - frame_dt, t, 200.0) if i else None
         R_wb = traj.rotation(t)
         p_wb = traj.position(t) + np.array([0, 0, 1.5])
-        img = np.asarray(sim.render_camera_image(
-            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W))
+        # sensor-native uint8 upload: the tracker normalizes on device;
+        # f32 pixels quadruple the per-frame host->device payload
+        img = np.clip(np.asarray(sim.render_camera_image(
+            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W)) * 255.0 + 0.5,
+            0, 255).astype(np.uint8)
         pts, val = sim.simulate_lidar_scan(
             scene, R_wb, p_wb, n_scan=64, width=1800, fov_up_deg=2.0,
             fov_down_deg=-24.8, max_range=80.0)

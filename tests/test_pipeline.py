@@ -329,3 +329,46 @@ def test_stale_visual_loop_drift_dropped_after_restart():
     pipe._vl_results.put((pipe._gen, (R_d, t_d)))
     p_out, q_out = pipe._drain_vl_results(p0, q0)
     np.testing.assert_allclose(p_out, t_d)
+
+
+@pytest.mark.slow
+def test_scan_quantization_equivalence():
+    """The scan-upload quantization knob (int16 fixed-point + bit-packed
+    validity, 2.5 mm) must be metrically transparent: lidar trajectory
+    within 1 cm and VIO within 10 cm of the f32 path over a 16-frame run.
+    Pins the accuracy cost of the bench/acceptance deployment config."""
+    scene = sim.RaycastScene()
+    traj = sim.Trajectory(sim.TrajectoryConfig(speed=1.5))
+    t0 = 1.0
+    frames = []
+    for i in range(16):
+        t = t0 + i * 0.1
+        imu = sim.simulate_imu(traj, t - 0.1, t, 200.0) if i else None
+        R_wb = traj.rotation(t)
+        p_wb = traj.position(t) + np.array([0, 0, 1.5])
+        img = np.asarray(sim.render_camera_image(
+            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W))
+        pts, val = sim.simulate_lidar_scan(
+            scene, R_wb, p_wb, n_scan=32, width=900, fov_up_deg=30.0,
+            fov_down_deg=-30.0, max_range=80.0)
+        frames.append((t, imu, img, np.asarray(pts), np.asarray(val)))
+
+    def run(quant):
+        pipe = VILFusionPipeline(make_rig(), mode="vil", scan_quant=quant)
+        q0, p0 = traj.pose(t0)
+        pipe.estimator.set_initial_state(p=p0 + np.array([0, 0, 1.5]), q=q0,
+                                         v=traj.velocity(t0))
+        for (t, imu, img, pts, val) in frames:
+            if imu is not None:
+                ts_i, acc, gyr = imu
+                for k in range(1, len(ts_i)):
+                    pipe.push_imu(ts_i[k], acc[k], gyr[k])
+            pipe.push_scan(t, pts.copy(), val.copy())
+            pipe.push_image(t, img)
+        pipe.finalize()
+        return np.asarray(pipe.outputs.vio_p), np.asarray(pipe.outputs.lidar_p)
+
+    vq, lq = run(0.0025)
+    v0, l0 = run(0.0)
+    assert np.abs(lq - l0).max() < 0.01, np.abs(lq - l0).max()
+    assert np.abs(vq - v0).max() < 0.10, np.abs(vq - v0).max()

@@ -52,8 +52,9 @@ def make_events(traj, scene, rig_geom, n_frames, frame_dt=0.1, t0=1.0,
             fov_down_deg=-24.8, max_range=80.0, range_noise=range_noise,
             seed=seed0 + i)
         yield ("scan", t, np.asarray(pts), np.asarray(val))
-        img = np.asarray(sim.render_camera_image(
-            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W))
+        img = np.clip(np.asarray(sim.render_camera_image(
+            scene, R_wb @ R_BC, p_wb, FX, FY, CX, CY, H, W)) * 255.0 + 0.5,
+            0, 255).astype(np.uint8)
         yield ("image", t, img)
 
 
@@ -104,6 +105,7 @@ def main():
     cap = 1 << int(np.ceil(np.log2(n_kf_max)))
     pipe = VILFusionPipeline(
         rig, mode="vil", visual_loop=True, sync_depth=args.sync_depth,
+        scan_quant=0.0025,
         gf_cfg=gf.GlobalFusionConfig(node_capacity=cap),
         vl_cfg=vl.VisualLoopConfig(capacity=cap, keyframe_gap=2.0))
 

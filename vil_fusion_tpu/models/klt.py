@@ -64,7 +64,8 @@ def _patch_stack(stack_padded, center, size: int, pad: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("win_radius", "iters", "levels", "taper"))
+                   static_argnames=("win_radius", "iters", "levels", "taper",
+                                    "region"))
 def track_pyramidal(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -74,6 +75,7 @@ def track_pyramidal(
     iters: int = 10,
     levels: int = 4,  # cv::calcOpticalFlowPyrLK(21x21, maxLevel=3) = levels 0..3
     taper: bool = True,
+    region: bool = True,  # gather-free refinement levels (False: per-iteration gathers everywhere)
 ):
     """Track pts from img1 to img2. Returns (new_pts (N, 2), status (N,)).
 
@@ -144,7 +146,7 @@ def track_pyramidal(
             dy = inv * (-gxy * bx + gxx * by)
             return jnp.stack([dx, dy])
 
-        if lvl == levels - 1:
+        if lvl == levels - 1 or not region:
             # coarsest level: the initial displacement is unbounded, so the
             # current patch is re-gathered from the image every iteration.
             # NOTE: a convergence-gated lax.while_loop was tried here and
