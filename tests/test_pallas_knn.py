@@ -144,3 +144,32 @@ def test_pallas_knn_sparse_packed_merge_matches():
     assert margin_ok.sum() > 30
     np.testing.assert_array_equal(np.asarray(i_pk)[margin_ok],
                                   np.asarray(i_ref)[margin_ok])
+
+
+def test_grouped_merge_kernel_bounded_approximation():
+    """The grouped two-pass merge (lidar odometry's dispatch, approx=True)
+    must match the exact kNN on >=99% of rows and never return a 5th
+    neighbor farther than 1.5x the true 5th-NN distance (its documented
+    bound: overflow beyond top-2-per-128-column-group falls back to the
+    next-best other-group candidate)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vil_fusion_tpu.ops.pallas import knn_pallas as kp
+    from vil_fusion_tpu.ops import knn as knn_xla
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-50, 50, (512, 3)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-50, 50, (8192, 3)), jnp.float32)
+    dbv = jnp.asarray(rng.random(8192) > 0.1)
+    d_g, i_g = kp.knn_pallas(q, db, dbv, k=5, grouped=True, mxu=True,
+                             interpret=True)
+    d_r, _ = knn_xla.knn(q, db, dbv, k=5)
+    d_g = np.sort(np.asarray(d_g), 1)
+    d_r = np.sort(np.asarray(d_r), 1)
+    exact_rows = np.isclose(d_g, d_r, rtol=1e-3, atol=1e-2).all(1).mean()
+    assert exact_rows > 0.99, exact_rows
+    ratio = (d_g[:, -1] / np.maximum(d_r[:, -1], 1e-9)).max()
+    assert ratio < 1.5, ratio
+    # returned indices point at real points with the returned distances
+    got = ((np.asarray(q)[:, None, :] - np.asarray(db)[np.asarray(i_g)]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.sort(got, 1), d_g, rtol=2e-3, atol=2e-2)

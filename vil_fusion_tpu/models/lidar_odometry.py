@@ -106,7 +106,10 @@ def _map_knn(pts_w, map_pts, map_valid, cfg: OdomConfig, res, radius, origin,
         return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k,
                            radius=cfg.max_corr_dist,
                            q_sorted=presorted, db_sorted=presorted)
-    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k)
+    # approx=True: grouped-merge Pallas kernel — the line/plane fits behind
+    # this are tolerance-gated, so the bounded 5th-neighbor approximation
+    # (P ~ 1e-3 of returning the 6th-nearest instead) is invisible to them
+    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k, approx=True)
 
 
 def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,

@@ -134,15 +134,18 @@ def _knn_kernel(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "db_tile",
-                                              "interpret", "packed", "mxu"))
+                                              "interpret", "packed", "mxu",
+                                              "grouped"))
 def knn_pallas(queries, database, db_valid, k: int = 5,
                q_tile: int = 256, db_tile: int = 4096, interpret: bool = False,
-               packed: bool = False, mxu: bool = False):
+               packed: bool = False, mxu: bool = False, grouped: bool = False):
     """Drop-in for ops.knn.knn on TPU. queries (Nq, 3), database (Nd, 3).
 
     packed=True selects the packed-key top-k merge: ~0.02% distance
     quantization (indices exact) for fewer VPU reduction passes per tile —
-    see _knn_kernel."""
+    see _knn_kernel. grouped=True selects the two-pass per-group merge
+    (_knn_kernel_grouped): fastest, bounded approximation of the k-th
+    neighbor when >2 of the top-k share a 128-column group."""
     nq, _ = queries.shape
     nd = database.shape[0]
     pad_q = (-nq) % q_tile
@@ -152,9 +155,14 @@ def knn_pallas(queries, database, db_valid, k: int = 5,
     val = jnp.pad(db_valid.astype(jnp.float32), (0, pad_d))[None, :]
 
     grid = (q.shape[0] // q_tile, db.shape[0] // db_tile)
+    if grouped:
+        kern = functools.partial(_knn_kernel_grouped, k=k, db_tile=db_tile,
+                                 mxu=mxu)
+    else:
+        kern = functools.partial(_knn_kernel, k=k, db_tile=db_tile,
+                                 packed=packed, mxu=mxu)
     out_d, out_i = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, db_tile=db_tile, packed=packed,
-                          mxu=mxu),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, 4), lambda i, j: (i, 0),
@@ -189,6 +197,79 @@ def knn_pallas(queries, database, db_valid, k: int = 5,
     out_d = jnp.where(out_d >= _INF * 0.5, jnp.inf, out_d)
     out_i = jnp.where(jnp.isfinite(out_d), out_i, 0)
     return jnp.maximum(out_d, 0.0), out_i
+
+
+def _knn_kernel_grouped(qx_ref, db_ref, valid_ref, out_d_ref, out_i_ref,
+                        best_d, best_i, *, k: int, db_tile: int, mxu: bool):
+    """Grouped two-pass top-k merge: the (QT, DT) distance block is reduced
+    to per-128-lane-group TOP-2 packed keys in TWO full-block passes (the
+    exact kernel pays k*(min+mask) full-block passes — the dominant cost),
+    then the k winners are selected from the tiny (QT, 2*G) candidate set.
+
+    APPROXIMATE in one way: if >2 of the true top-k fall in one 128-column
+    group, overflow slots return the best remaining candidates from OTHER
+    groups instead of the true j-th. REQUIRES spatially-uncorrelated column
+    order: near neighbors must land in different groups with high
+    probability. True for the voxel-HASH map buffers this serves
+    (merge_voxel_hash scatters points by hash — P(>2 of 5 sharing a group)
+    is birthday-bounded ~1e-3/query-tile, and overflow falls back to other
+    in-radius points). CATASTROPHICALLY wrong on Morton/spatially-sorted
+    buffers where a point's neighbors are column-contiguous — the
+    dispatcher only selects this kernel on the dense unsorted path, never
+    with q_sorted/db_sorted (verified by the cluster probe in the r04
+    verify drive). Exact path stays the default for everything else."""
+    dj = pl.program_id(1)
+
+    @pl.when(dj == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, _INF)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = qx_ref[:]
+    d = db_ref[:]
+    v = valid_ref[:]
+    dist = _pair_dist2(q, d, v, mxu)
+
+    base = dj * db_tile
+    qt = dist.shape[0]
+    G = db_tile // 128
+
+    # pack (distance bits, column) into one monotone int32 key (see the
+    # packed path in _knn_kernel); column needs log2(db_tile) bits
+    idx_bits = max(1, (db_tile - 1).bit_length())
+    mask = jnp.int32(~((1 << idx_bits) - 1))
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    half = jnp.int32(1 << (idx_bits - 1))
+    dbits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+    key = ((dbits + half) & mask) | col
+    key = jnp.where(dist >= _INF, jnp.int32(0x7F7FFFFF), key)
+
+    kg = key.reshape(qt, G, 128)
+    m1 = jnp.min(kg, axis=2)  # (QT, G) per-group best
+    kg2 = jnp.where(kg == m1[:, :, None], jnp.int32(0x7F7FFFFF), kg)
+    m2 = jnp.min(kg2, axis=2)  # per-group second best
+    cand = jnp.concatenate([m1, m2], axis=1)  # (QT, 2G)
+
+    bd = best_d[:]
+    bi = best_i[:]
+    for _ in range(k):
+        m = jnp.min(cand, axis=1, keepdims=True)
+        mval = jax.lax.bitcast_convert_type(m & mask, jnp.float32)
+        gidx = base + (m & ~mask)
+        worst = jnp.max(bd, axis=1, keepdims=True)
+        take = mval < worst
+        is_worst = bd == worst
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+        worst_slot = jnp.min(jnp.where(is_worst, slot_ids, k), axis=1,
+                             keepdims=True)
+        repl = (slot_ids == worst_slot) & take
+        bd = jnp.where(repl, mval, bd)
+        bi = jnp.where(repl, gidx, bi)
+        cand = jnp.where(cand == m, jnp.int32(0x7F7FFFFF), cand)
+    best_d[:] = bd
+    best_i[:] = bi
+    out_d_ref[:] = bd
+    out_i_ref[:] = bi
 
 
 def _spread3(x):
@@ -414,7 +495,8 @@ def knn_pallas_sparse(queries, database, db_valid, k: int = 5,
 
 def knn(queries, database, db_valid, k: int = 5, tile: int = 4096,
         radius: float | None = None,
-        q_sorted: bool = False, db_sorted: bool = False):
+        q_sorted: bool = False, db_sorted: bool = False,
+        approx: bool = False):
     """Dispatch: Pallas on TPU, XLA path elsewhere.
 
     tile=4096 measured 44% faster than 2048 on v5e (fewer top-k merge
@@ -434,7 +516,13 @@ def knn(queries, database, db_valid, k: int = 5, tile: int = 4096,
                                      db_sorted=db_sorted)
         # packed+mxu measured 5.3 vs 7.3 ms on the 8192x32768 surf pass
         # (v5e, 2026-08-20): one K=4 dot_general replaces 3 VPU diff-square
-        # passes, and the packed-key merge halves the per-round reductions
+        # passes, and the packed-key merge halves the per-round reductions.
+        # approx=True further swaps the k-round full-block merge for the
+        # two-pass grouped merge (bounded 5th-neighbor approximation —
+        # callers whose consumers are correspondence-gated opt in).
+        if approx:
+            return knn_pallas(queries, database, db_valid, k=k, db_tile=tile,
+                              grouped=True, mxu=True)
         return knn_pallas(queries, database, db_valid, k=k, db_tile=tile,
                           packed=True, mxu=True)
     return knn_xla.knn(queries, database, db_valid, k=k, tile=min(tile, 2048))
