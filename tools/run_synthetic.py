@@ -45,6 +45,8 @@ def make_events(traj, scene, rig_geom, n_frames, frame_dt=0.1, t0=1.0,
                 bias_a=bias_a, bias_g=bias_g, seed=seed0 + i)
             for k in range(1, len(ts_i)):
                 yield ("imu", ts_i[k], acc[k], gyr[k])
+        if i and i % 100 == 0:
+            print(f"  frame {i}/{n_frames}", file=sys.stderr, flush=True)
         R_wb = traj.rotation(t)
         p_wb = traj.position(t) + np.array([0, 0, 1.5])
         pts, val = sim.simulate_lidar_scan(
@@ -68,6 +70,15 @@ def main():
     ap.add_argument("--frames", type=int, default=None,
                     help="override frame count (default: laps * lap time * 10 Hz)")
     args = ap.parse_args()
+
+    import jax
+
+    # persistent compile cache (same as bench.py): repeat runs skip the
+    # 20-40 s remote compiles of the fused frame / keyframe / loop programs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax_tpu")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vil_fusion_tpu.models import global_fusion as gf
     from vil_fusion_tpu.models import visual_loop as vl
@@ -94,8 +105,11 @@ def main():
 
     period = 2 * np.pi * args.radius / args.speed
     traj = sim.LoopTrajectory(radius=args.radius, period=period, laps=args.laps)
-    scene = sim.urban_block_scene(args.radius, pillar_step_deg=4.0,
-                                  box_step_deg=6.0)
+    # device-vectorized raycast: the numpy primitive loop is ~26 s/frame at
+    # this scene's ~300 primitives (10+ h for the circuit); JaxRaycast runs
+    # the whole (rays x primitives) test as one jitted dispatch per sensor
+    scene = sim.JaxRaycast(sim.urban_block_scene(
+        args.radius, pillar_step_deg=4.0, box_step_deg=6.0))
     n_frames = args.frames or int(args.laps * period * 10)
     path_len = args.laps * 2 * np.pi * args.radius
 
