@@ -5,8 +5,10 @@ JaxRaycast exists because the numpy primitive loop is ~26 s/frame on the
 KITTI-scale acceptance scene (~300 primitives) — it is what makes
 tools/run_synthetic.py runnable at full scale. These tests pin that the fast
 path is the SAME sensor model: identical hit/miss decisions and ranges up to
-f32 rounding, and bit-identical uint8 images after the replay producers'
-quantization.
+f32 rounding, and uint8 images that agree within +-1 grey level on >99.5% of
+pixels after the replay producers' quantization (the residual pixels are
+hit/miss flips at primitive silhouettes, where f32 rounding moves a ray
+across an edge).
 """
 import numpy as np
 import pytest

@@ -485,15 +485,9 @@ class JaxRaycast:
         t = self._raycast_all(o, d, max_range)[:n]
         hit = jnp.isfinite(t)
         pts = p_wc + jnp.where(hit, t, 0.0)[:, None] * (d[:n])
-        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
-        tex = jnp.clip(
-            0.45
-            + 0.18 * jnp.sin(1.3 * x) * jnp.sin(1.9 * y + 0.7)
-            + 0.12 * jnp.sin(3.1 * y + 0.3) * jnp.cos(2.3 * z)
-            + 0.10 * jnp.sin(5.7 * x + 2.1 * z)
-            + 0.08 * jnp.sin(11.0 * x) * jnp.sin(9.0 * y) * jnp.sin(8.0 * z + 1.0),
-            0.0, 1.0) / (1.0 + 0.004 * jnp.where(hit, t, 0.0))
-        img = jnp.where(hit, tex, 0.9)
+        tex = _texture_field(pts[:, 0], pts[:, 1], pts[:, 2], jnp) \
+            / (1.0 + ATTENUATION * jnp.where(hit, t, 0.0))
+        img = jnp.where(hit, tex, SKY_VALUE)
         return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
     def render_image_u8(self, R_wc, p_wc, fx, fy, cx, cy, height, width,
@@ -536,16 +530,27 @@ class JaxRaycast:
         return np.asarray(t), self._grids[key]
 
 
-def _procedural_texture(pts):
+# camera sensor-model constants, shared by the numpy path
+# (render_camera_image / _procedural_texture) and the device path
+# (JaxRaycast._image_program) so the two renders cannot silently drift apart
+SKY_VALUE = 0.9  # miss pixels
+ATTENUATION = 0.004  # 1/(1 + ATTENUATION*range) distance dimming
+
+
+def _texture_field(x, y, z, xp=np):
     """Smooth multi-scale intensity field over 3D surface points (trackable
-    texture for the KLT front end)."""
-    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    texture for the KLT front end). `xp` = numpy or jax.numpy — the SAME
+    expression serves both render paths."""
     v = (0.45
-         + 0.18 * np.sin(1.3 * x) * np.sin(1.9 * y + 0.7)
-         + 0.12 * np.sin(3.1 * y + 0.3) * np.cos(2.3 * z)
-         + 0.10 * np.sin(5.7 * x + 2.1 * z)
-         + 0.08 * np.sin(11.0 * x) * np.sin(9.0 * y) * np.sin(8.0 * z + 1.0))
-    return np.clip(v, 0.0, 1.0)
+         + 0.18 * xp.sin(1.3 * x) * xp.sin(1.9 * y + 0.7)
+         + 0.12 * xp.sin(3.1 * y + 0.3) * xp.cos(2.3 * z)
+         + 0.10 * xp.sin(5.7 * x + 2.1 * z)
+         + 0.08 * xp.sin(11.0 * x) * xp.sin(9.0 * y) * xp.sin(8.0 * z + 1.0))
+    return xp.clip(v, 0.0, 1.0)
+
+
+def _procedural_texture(pts):
+    return _texture_field(pts[:, 0], pts[:, 1], pts[:, 2], np)
 
 
 def render_camera_image(scene: RaycastScene, R_wc, p_wc, fx, fy, cx, cy,
@@ -568,10 +573,10 @@ def render_camera_image(scene: RaycastScene, R_wc, p_wc, fx, fy, cx, cy,
     t = scene.raycast(origins, dirs_w, max_range=max_range)
     hit = np.isfinite(t)
     pts = origins + np.where(hit, t, 0.0)[:, None] * dirs_w
-    img = np.full(len(dirs_w), 0.9)
+    img = np.full(len(dirs_w), SKY_VALUE)
     img[hit] = _procedural_texture(pts[hit])
     # mild distance attenuation adds large-scale gradient
-    img[hit] *= 1.0 / (1.0 + 0.004 * t[hit])
+    img[hit] *= 1.0 / (1.0 + ATTENUATION * t[hit])
     return img.reshape(height, width).astype(np.float32)
 
 
@@ -591,8 +596,10 @@ def simulate_lidar_scan_distorted(scene, traj, t_end, frame_dt, body_offset,
         t_g = t_end - (1.0 - s_frac) * frame_dt
         R_g = traj.rotation(t_g)
         p_g = traj.position(t_g) + body_offset
+        # scene passed through unwrapped: a JaxRaycast must keep its
+        # resident-grid _scan_program dispatch here too (ADVICE r4)
         p_full, v_full = simulate_lidar_scan(
-            _SceneView(scene), R_g, p_g, n_scan=n_scan, width=width,
+            scene, R_g, p_g, n_scan=n_scan, width=width,
             fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
             max_range=max_range)
         cols = slice(g * seg_w, (g + 1) * seg_w)
@@ -602,16 +609,6 @@ def simulate_lidar_scan_distorted(scene, traj, t_end, frame_dt, body_offset,
         pts[m] = p_full[m]
         val[m] = v_full[m]
     return pts, val
-
-
-class _SceneView:
-    """Pass-through (kept for symmetry / future subsetting)."""
-
-    def __init__(self, scene):
-        self._s = scene
-
-    def raycast(self, o, d, max_range=80.0):
-        return self._s.raycast(o, d, max_range)
 
 
 def simulate_lidar_scan(scene: RaycastScene, R_wb, p_wb, n_scan: int = 32,
