@@ -84,6 +84,18 @@ def _chained_stage_breakdown(pipe, frames, n=10):
     imgs = [jnp.asarray(f[2]) for f in frames[-4:]]
     scans = [(jnp.asarray(f[3], jnp.float32), jnp.asarray(f[4]))
              for f in frames[-4:]]
+    # the deployed fused program's variant is selected by the scan dtype:
+    # quantized rigs upload int16 + bit-packed validity (push_scan). Feed the
+    # SAME representation here or the breakdown would compile (and measure) a
+    # second, undeployed f32 variant of the whole frame program.
+    if pipe.scan_quant:
+        scans_q = [(jnp.asarray(np.clip(np.round(
+                        np.asarray(f[3]) * (1.0 / pipe.scan_quant)),
+                        -32767, 32767).astype(np.int16)),
+                    jnp.asarray(np.packbits(np.asarray(f[4], bool))))
+                   for f in frames[-4:]]
+    else:
+        scans_q = scans
     est = pipe.estimator
     cam, tcfg, lcfg, ecfg = pipe.cam, pipe.tracker_cfg, pipe.lidar_cfg, pipe.est_cfg
     t, imu, img, pts, val = frames[-1]
@@ -91,6 +103,12 @@ def _chained_stage_breakdown(pipe, frames, n=10):
     gyr = np.asarray(imu[2][1:])
     dts = np.diff(imu[0])
     acc_b, gyr_b, dt_b, n_imu = est._pack_imu(acc, gyr, dts)
+    blk = np.zeros((acc_b.shape[0] + 1, 7), np.float32)
+    blk[:-1, 0:3] = acc_b
+    blk[:-1, 3:6] = gyr_b
+    blk[:len(dt_b), 6] = dt_b
+    blk[-1, :4] = (1.0, len(dts), 0.0, pipe.scan_quant)
+    imu_hdr = jnp.asarray(blk)
     acc_b, gyr_b, dt_b = jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b)
 
     def chained(step_fn, state0):
@@ -131,10 +149,9 @@ def _chained_stage_breakdown(pipe, frames, n=10):
 
     def full_step(s, i):
         r = _vil_frame_program(
-            *s, imgs[i % 4], jnp.float32(i * 0.1), jax.random.PRNGKey(i),
-            *scans[i % 4], acc_b, gyr_b, dt_b, jnp.int32(len(dts)),
+            *s, imgs[i % 4], *scans_q[i % 4], imu_hdr,
             pipe.q_il, pipe.t_il, pipe.q_li, pipe.t_li,
-            pipe.q_cl, pipe.t_cl, jnp.float32(0.0),
+            pipe.q_cl, pipe.t_cl,
             cam, tcfg, lcfg, ecfg)
         return r[:7]
     out["full_frame_program"] = chained(
@@ -143,7 +160,7 @@ def _chained_stage_breakdown(pipe, frames, n=10):
     return {k: round(v, 2) for k, v in out.items()}
 
 
-def bench_vil_pipeline(n_frames=40, warmup=26):
+def bench_vil_pipeline(n_frames=40, warmup=26, passes=3):
     # warmup must cover the FIRST steady-state frame (the fused estimator
     # step compiles there, ~20-40 s) and the first global-graph optimize
     # (every 8 keyframes), or their compiles pollute the timed region.
@@ -154,7 +171,13 @@ def bench_vil_pipeline(n_frames=40, warmup=26):
     Drives the actual VILFusionPipeline with sync_depth=2 (cross-frame stage
     overlap; one batched device_get per frame = bounded-depth pipelining, the
     honest measurement under remote-execution — see bench_lidar_odometry).
-    Returns (fps, per-stage mean ms)."""
+
+    The timed region runs `passes` times on the warmed pipeline and the
+    MEDIAN is the headline: the shared remote tunnel's single-run variance is
+    ±30% (PERF.md "Measurement noise") and twice the official record was
+    decided by one bad sample (VERDICT r4 weak #1). Each pass drains the
+    in-flight frames before stopping its clock so passes are independent.
+    Returns (median_fps, all pass fps, per-stage mean ms, device stage ms)."""
     import jax
     import numpy as np
 
@@ -191,7 +214,7 @@ def bench_vil_pipeline(n_frames=40, warmup=26):
 
     # pre-generate all sensor data (host) so the loop times only the pipeline
     frames = []
-    total = warmup + n_frames
+    total = warmup + passes * n_frames
     for i in range(total):
         t = t0 + i * frame_dt
         imu = sim.simulate_imu(traj, t - frame_dt, t, 200.0) if i else None
@@ -211,8 +234,7 @@ def bench_vil_pipeline(n_frames=40, warmup=26):
         t, imu, img, pts, val = frame
         if imu is not None:
             ts_i, acc, gyr = imu
-            for k in range(1, len(ts_i)):
-                pipe.push_imu(ts_i[k], acc[k], gyr[k])
+            pipe.push_imu_batch(ts_i[1:], acc[1:], gyr[1:])
         pipe.push_scan(t, pts, val)
         pipe.push_image(t, img)
 
@@ -227,15 +249,20 @@ def bench_vil_pipeline(n_frames=40, warmup=26):
     if pipe.fusion is not None:
         pipe.fusion.prewarm()
     GLOBAL_TIMERS.reset()
-    t_start = time.perf_counter()
-    for f in frames[warmup:]:
-        feed(f)
+    pass_fps = []
+    for k in range(passes):
+        chunk = frames[warmup + k * n_frames: warmup + (k + 1) * n_frames]
+        t_start = time.perf_counter()
+        for f in chunk:
+            feed(f)
+        while len(pipe._pending) > 0:  # drain so passes are independent
+            pipe._complete_frame(pipe._pending.pop(0))
+        pass_fps.append(n_frames / (time.perf_counter() - t_start))
     pipe.finalize()
-    dt = time.perf_counter() - t_start
     stages = {k: round(v["mean_ms"], 2)
               for k, v in GLOBAL_TIMERS.summary().items()}
     device_ms = _chained_stage_breakdown(pipe, frames)
-    return n_frames / dt, stages, device_ms
+    return float(np.median(pass_fps)), pass_fps, stages, device_ms
 
 
 def bench_ba(n_solves=10, warmup=2):
@@ -324,7 +351,7 @@ def main():
             "vs_baseline": round(lidar_fps / 10.0, 3),
         }))
         return
-    vil_fps, stages, device_ms = vil
+    vil_fps, pass_fps, stages, device_ms = vil
     # regression gate (VERDICT r3: the r2->r3 43% regression shipped unseen
     # because nothing compared rounds): loud stderr warning on >10% drop
     # against the newest recorded BENCH_r*.json
@@ -350,14 +377,18 @@ def main():
               f"n_inner / KLT iters) ***\n", file=sys.stderr, flush=True)
     stage_str = " ".join(f"{k}={v}ms" for k, v in sorted(stages.items()))
     dev_str = " ".join(f"{k}={v}ms" for k, v in device_ms.items())
+    passes_r = [round(x, 2) for x in pass_fps]
     print(json.dumps({
         "metric": "vil_pipeline_frames_per_s",
         "value": round(vil_fps, 3),
-        "unit": ("frames/s (full camera+IMU+LiDAR deployment pipeline, KITTI "
-                 "scale, sync_depth=2; device stage ms (chained): %s; "
-                 "enqueue: %s; aux: lidar_only_fps=%.2f ba_iters_per_s=%.1f)"
-                 ) % (dev_str, stage_str, lidar_fps, ba_iters_per_s),
+        "unit": ("frames/s (median of %d timed passes %s — full camera+IMU+"
+                 "LiDAR deployment pipeline, KITTI scale, sync_depth=2; "
+                 "device stage ms (chained): %s; "
+                 "host: %s; aux: lidar_only_fps=%.2f ba_iters_per_s=%.1f)"
+                 ) % (len(passes_r), passes_r, dev_str, stage_str, lidar_fps,
+                      ba_iters_per_s),
         "vs_baseline": round(vil_fps / 10.0, 3),
+        "pass_fps": passes_r,
         "device_stage_ms": device_ms,
     }))
 

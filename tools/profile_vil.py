@@ -112,6 +112,20 @@ def main():
     t, imu, img, pts, val = frames[-1]
     acc, gyr, dts = np.asarray(imu[1][1:]), np.asarray(imu[2][1:]), np.diff(imu[0])
     acc_b, gyr_b, dt_b, n_imu = est._pack_imu(acc, gyr, dts)
+    blk = np.zeros((acc_b.shape[0] + 1, 7), np.float32)
+    blk[:-1, 0:3] = acc_b
+    blk[:-1, 3:6] = gyr_b
+    blk[:len(dt_b), 6] = dt_b
+    blk[-1, :4] = (1.0, len(dts), 0.0, pipe.scan_quant)
+    imu_hdr = jnp.asarray(blk)
+    if pipe.scan_quant:  # feed the deployed (quantized) program variant
+        scans_q = [(jnp.asarray(np.clip(np.round(
+                        np.asarray(f[3]) * (1.0 / pipe.scan_quant)),
+                        -32767, 32767).astype(np.int16)),
+                    jnp.asarray(np.packbits(np.asarray(f[4], bool))))
+                   for f in frames[-4:]]
+    else:
+        scans_q = scans
     acc_b, gyr_b, dt_b = jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b)
 
     # 1. tracker chained
@@ -163,11 +177,9 @@ def main():
         tracker_state, lidar_state, window, feats, pre, lidarc, prior = s
         out = _vil_frame_program(
             tracker_state, lidar_state, window, feats, pre, lidarc, prior,
-            imgs[i % 4], jnp.float32(i * 0.1), jax.random.PRNGKey(i),
-            *scans[i % 4],
-            acc_b, gyr_b, dt_b, jnp.int32(len(dts)),
+            imgs[i % 4], *scans_q[i % 4], imu_hdr,
             pipe.q_il, pipe.t_il, pipe.q_li, pipe.t_li,
-            pipe.q_cl, pipe.t_cl, jnp.float32(0.0),
+            pipe.q_cl, pipe.t_cl,
             cam, tcfg, lcfg, ecfg)
         return out[:7]
     chained("FULL _vil_frame_program", full_step, full0)

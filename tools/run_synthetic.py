@@ -148,15 +148,23 @@ def main():
         "wall_s": round(wall, 1),
         "fps": round(len(pipe.outputs.ts) / wall, 2),
         "restarts": pipe.restarts,
+        "restart_log": pipe.restart_log,
         "n_sc_loops": len(pipe.fusion.loops_found) if pipe.fusion else 0,
         "n_visual_loops": int(pipe.visual_loop.graph.n_loops)
         if pipe.visual_loop is not None else 0,
+        "visual_loop_stats": pipe.visual_loop.stats_summary()
+        if pipe.visual_loop is not None else None,
         "ate_rmse_vio": tum.ate_rmse(np.stack(pipe.outputs.vio_p)[ini],
                                      gt_frames[ini]),
         "ate_rmse_loop": tum.ate_rmse(np.stack(pipe.outputs.loop_p)[ini],
                                       gt_frames[ini])
         if pipe.outputs.loop_p else None,
-        "timers": GLOBAL_TIMERS.summary(),
+        # p50/p90 are the steady-state decomposition; means include the
+        # first-call XLA compiles (tens of seconds through the remote-compile
+        # tunnel) and only say how expensive compilation was
+        "timers": {k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
+                       for kk, vv in v.items()}
+                   for k, v in GLOBAL_TIMERS.summary().items()},
     }
     if pipe.fusion is not None and pipe.fusion.n_kf:
         gt_kf = np.stack([gt[round(t, 6)] for t in pipe.fusion.kf_ts])

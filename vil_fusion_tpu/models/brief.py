@@ -88,14 +88,25 @@ def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray):
 
 
 @jax.jit
-def match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 80):
+def match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 80,
+          ratio: float = 0.85):
     """Best-match per row with the reference's Hamming < 80 gate
-    (keyframe.cpp:121-171). Returns (idx (N,), ok (N,))."""
+    (keyframe.cpp:121-171) PLUS a Lowe-style ratio test against the
+    second-best match (best < ratio * second). The reference's DBoW2-BRIEF
+    matching ships the absolute gate only; our BRIEF over low-texture
+    imagery produces clusters of near-identical descriptors whose arbitrary
+    best-matches pass < 80 and then collapse PnP to ~1 inlier (measured:
+    tools/diag_visual_loop.py, p50 PnP inliers = 1 before this gate). A
+    genuine counterpart is far closer than the runner-up; an ambiguous
+    match is not. Returns (idx (N,), ok (N,))."""
     d = hamming_matrix(desc_a, desc_b)
     d = jnp.where(valid_b[None, :], d, 10_000)
     idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
-    ok = valid_a & (best < max_dist)
+    d_wo = d.at[jnp.arange(d.shape[0]), idx].set(10_000)
+    second = jnp.min(d_wo, axis=1)
+    ok = valid_a & (best < max_dist) \
+        & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     return idx, ok
 
 

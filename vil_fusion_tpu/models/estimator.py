@@ -236,10 +236,23 @@ def gauge_transform(window: WindowState, prior, R_d, t_d):
     return window, prior
 
 
+# failure_detection bitmask layout (nonzero == failed); FAIL_NAMES decodes a
+# host-fetched mask into the predicate names for restart-cause reporting
+# (VERDICT r4 #3: every restart's cause must be recorded, not just counted)
+FAIL_NAMES = {1: "acc_bias_norm", 2: "gyr_bias_norm", 4: "position_jump",
+              8: "z_jump", 16: "rotation_jump"}
+
+
+def decode_failure(mask: int):
+    return [name for bit, name in FAIL_NAMES.items() if int(mask) & bit]
+
+
 @jax.jit
 def failure_detection(state: WindowState, state_prev_p, state_prev_q) -> jnp.ndarray:
     """Divergence detector (estimator.cpp failureDetection :640-686):
-    bias norms, translation/z jumps, rotation jump."""
+    bias norms, translation/z jumps, rotation jump. Returns an int32
+    BITMASK of fired predicates (0 == healthy) so the host can log which
+    gate tripped; any nonzero value means failure."""
     big_ba = jnp.linalg.norm(state.ba[K - 1]) > 2.5
     big_bg = jnp.linalg.norm(state.bg[K - 1]) > 1.0
     dp = state.p[K - 1] - state_prev_p
@@ -247,7 +260,9 @@ def failure_detection(state: WindowState, state_prev_p, state_prev_q) -> jnp.nda
     big_z = jnp.abs(dp[2]) > 1.0
     dq = lie.qmul(lie.qconj(state_prev_q), state.q[K - 1])
     big_rot = jnp.linalg.norm(lie.so3_log(dq)) > 0.87  # ~50 deg
-    return big_ba | big_bg | big_jump | big_z | big_rot
+    return (big_ba.astype(jnp.int32) | (big_bg.astype(jnp.int32) << 1)
+            | (big_jump.astype(jnp.int32) << 2) | (big_z.astype(jnp.int32) << 3)
+            | (big_rot.astype(jnp.int32) << 4))
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +349,8 @@ def fused_full_step(
         return window, feats, jnp.zeros((), window.p.dtype)
 
     window, feats, cost = jax.lax.cond(run_ba, do_ba, skip_ba, (window, feats))
-    failed = run_ba & failure_detection(window, prev_p, prev_q)
+    failed = jnp.where(run_ba, failure_detection(window, prev_p, prev_q),
+                       jnp.int32(0))
 
     out_p = window.p[K - 1]
     out_q = window.q[K - 1]
@@ -385,6 +401,7 @@ class VILEstimator:
         self.frame_count = 0  # host-side (mirrors Estimator::frame_count)
         self.initialized = False
         self.failed = False
+        self.fail_mask = 0  # failure_detection bitmask of the failing frame
         self.gravity = jnp.asarray(cfg.ba.gravity, dtype)
 
     # -- bootstrap helpers ---------------------------------------------------
@@ -460,9 +477,7 @@ class VILEstimator:
                 jnp.asarray(True), cfg)
             host = jax.device_get((out["p"], out["q"], out["v"], out["cost"],
                                    out["failed"]))
-            self.last_cost = float(host[3])
-            if bool(host[4]):
-                self.failed = True
+            self.absorb_result(host[3], host[4])
             return np.asarray(host[0]), np.asarray(host[1]), np.asarray(host[2])
 
         # --- filling phase / cold start: host-orchestrated path ---
@@ -509,8 +524,10 @@ class VILEstimator:
                     self.window, self.feats, self.pre, self.lidar, self.prior,
                     cfg.ba)
             self.last_cost = float(cost)
-            if bool(failure_detection(self.window, prev_p, prev_q)):
+            mask = int(failure_detection(self.window, prev_p, prev_q))
+            if mask:
                 self.failed = True
+                self.fail_mask = mask
 
         is_key = bool(keyframe_decision(
             self.feats, jnp.int32(fc), cfg.min_parallax, cfg.min_track_for_nonkey))
@@ -578,10 +595,13 @@ class VILEstimator:
         return out
 
     def absorb_result(self, host_cost, host_failed):
-        """Record a (possibly deferred) frame result fetched by the caller."""
+        """Record a (possibly deferred) frame result fetched by the caller.
+        host_failed is the failure_detection bitmask (nonzero == failed);
+        the mask is kept on `fail_mask` for restart-cause logging."""
         self.last_cost = float(host_cost)
-        if bool(host_failed):
+        if int(host_failed):
             self.failed = True
+            self.fail_mask = int(host_failed)
 
     def _pack_imu(self, acc, gyr, dts):
         """Pad/decimate raw IMU arrays into fixed-capacity buffers."""

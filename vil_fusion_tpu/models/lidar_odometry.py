@@ -61,6 +61,14 @@ class OdomConfig(NamedTuple):
     # surf pass) and needs none of the four per-frame Morton argsorts. Turn
     # on for map capacities well beyond 32k where skipped blocks dominate.
     sparse_knn: bool = False
+    # grouped two-pass top-k merge in the dense Pallas kernel (bounded
+    # approximation: the 5th neighbor may be the 6th-nearest with P~1e-3).
+    # Default ON — tools/ab_knn.py A/Bs the odometry trajectory delta at
+    # HDL-64 deployment shapes (recorded in PERF.md); False = exact merge.
+    approx_knn: bool = True
+    # re-rank cached pass-1 kNN candidates in later association passes
+    # instead of re-scanning the map (see scan_to_map; ab_knn.py A/Bs it)
+    reuse_knn: bool = True
 
 
 class MapState(NamedTuple):
@@ -106,18 +114,18 @@ def _map_knn(pts_w, map_pts, map_valid, cfg: OdomConfig, res, radius, origin,
         return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k,
                            radius=cfg.max_corr_dist,
                            q_sorted=presorted, db_sorted=presorted)
-    # approx=True: grouped-merge Pallas kernel — the line/plane fits behind
+    # approx: grouped-merge Pallas kernel — the line/plane fits behind
     # this are tolerance-gated, so the bounded 5th-neighbor approximation
     # (P ~ 1e-3 of returning the 6th-nearest instead) is invisible to them
-    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k, approx=True)
+    return knn_ops.knn(pts_w, map_pts, map_valid, k=cfg.knn_k,
+                       approx=cfg.approx_knn)
 
 
-def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
-                         origin=None, presorted: bool = False):
+def edge_correspondences(pts_w, valid, map_pts, d2, idx, cfg: OdomConfig):
     """5-NN line fit per edge point: PCA direction + eigenvalue gating
-    (EstimationMapping.hpp:254-270 semantics: lambda_max > 3 lambda_mid)."""
-    d2, idx = _map_knn(pts_w, map_pts, map_valid, cfg, cfg.edge_map_voxel,
-                       cfg.edge_hash_radius, origin, presorted)
+    (EstimationMapping.hpp:254-270 semantics: lambda_max > 3 lambda_mid).
+    (d2, idx) come from _map_knn or from a cached-candidate re-rank
+    (_reuse_knn) — the fit is symmetric in the k neighbors either way."""
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     centroid = jnp.mean(nn, axis=1)
@@ -138,12 +146,10 @@ def edge_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
     return centroid, direction, ok
 
 
-def surf_correspondences(pts_w, valid, map_pts, map_valid, cfg: OdomConfig,
-                         origin=None, presorted: bool = False):
+def surf_correspondences(pts_w, valid, map_pts, d2, idx, cfg: OdomConfig):
     """5-NN plane fit per planar point: solve A n = -1, gate on fit residual
-    (SurfCostFactor :174-206 semantics)."""
-    d2, idx = _map_knn(pts_w, map_pts, map_valid, cfg, cfg.surf_map_voxel,
-                       cfg.surf_hash_radius, origin, presorted)
+    (SurfCostFactor :174-206 semantics). (d2, idx) as in
+    edge_correspondences."""
     nn = map_pts[idx]  # (N, k, 3)
     ok = jnp.isfinite(d2).all(axis=-1) & (d2[:, -1] < cfg.max_corr_dist**2) & valid
     # TLS plane fit: normal = smallest eigenvector of the CENTERED 5-NN
@@ -242,18 +248,46 @@ def scan_to_map(
     else:
         presorted = False
 
-    def outer_body(_, qp):
-        q, p = qp
+    # Association passes. Pass 1 scans the full map (Pallas kNN); later
+    # passes re-rank the CACHED pass-1 candidates under the updated pose
+    # (cfg.reuse_knn) instead of re-scanning — the second full kNN is the
+    # single most expensive slab of the frame program, and the pose moves
+    # mm-cm between passes under the constant-velocity prediction, so the
+    # 5-NN set at the refined pose is pass 1's set to within the tolerance
+    # gates (tools/ab_knn.py A/Bs the trajectory delta; the reference
+    # re-queries its kd-trees each relinearization,
+    # EstimationMapping.hpp:254-285). Neighbors missing in pass 1
+    # (non-finite d2) stay masked: recomputing distances on their padded
+    # indices would resurrect invalid correspondences.
+    q, p = q_init, p_init
+    cache = {}
+    for outer in range(cfg.n_outer):
         e_w = lie.qrot(q, feats.edge) + p
         s_w = lie.qrot(q, feats.surf) + p
+        if outer == 0 or not cfg.reuse_knn:
+            e_d2, e_idx = _map_knn(e_w, edge_map, edge_map_valid, cfg,
+                                   cfg.edge_map_voxel, cfg.edge_hash_radius,
+                                   map_origin, presorted)
+            s_d2, s_idx = _map_knn(s_w, surf_map, surf_map_valid, cfg,
+                                   cfg.surf_map_voxel, cfg.surf_hash_radius,
+                                   map_origin, presorted)
+            cache = dict(e_idx=e_idx, e_fin=jnp.isfinite(e_d2).all(-1),
+                         s_idx=s_idx, s_fin=jnp.isfinite(s_d2).all(-1))
+        else:
+            e_idx, s_idx = cache["e_idx"], cache["s_idx"]
+            e_d2 = jnp.sum((e_w[:, None, :] - edge_map[e_idx]) ** 2, -1)
+            e_d2 = jnp.sort(jnp.where(cache["e_fin"][:, None], e_d2,
+                                      jnp.inf), axis=-1)
+            s_d2 = jnp.sum((s_w[:, None, :] - surf_map[s_idx]) ** 2, -1)
+            s_d2 = jnp.sort(jnp.where(cache["s_fin"][:, None], s_d2,
+                                      jnp.inf), axis=-1)
         e_cent, e_dir, e_ok = edge_correspondences(
-            e_w, feats.edge_valid, edge_map, edge_map_valid, cfg, map_origin,
-            presorted)
+            e_w, feats.edge_valid, edge_map, e_d2, e_idx, cfg)
         s_n, s_d, s_ok = surf_correspondences(
-            s_w, feats.surf_valid, surf_map, surf_map_valid, cfg, map_origin,
-            presorted)
+            s_w, feats.surf_valid, surf_map, s_d2, s_idx, cfg)
 
-        def inner_body(_, qp):
+        def inner_body(_, qp, e_cent=e_cent, e_dir=e_dir, e_ok=e_ok,
+                       s_n=s_n, s_d=s_d, s_ok=s_ok):
             q, p = qp
             H, b, _ = _gn_system(
                 q, p, feats.edge, e_cent, e_dir, e_ok.astype(p.dtype),
@@ -268,9 +302,8 @@ def scan_to_map(
             delta = jnp.clip(delta, -1.0, 1.0)
             return lie.pose_retract((q, p), delta)
 
-        return jax.lax.fori_loop(0, cfg.n_inner, inner_body, (q, p))
-
-    return jax.lax.fori_loop(0, cfg.n_outer, outer_body, (q_init, p_init))
+        q, p = jax.lax.fori_loop(0, cfg.n_inner, inner_body, (q, p))
+    return q, p
 
 
 # ---------------------------------------------------------------------------

@@ -245,18 +245,37 @@ def replay(pipeline, events: Iterator[tuple], max_events: Optional[int] = None,
         events = transport.prefetch(events, max_events=max_events)
         max_events = None
     n = 0
+    # consecutive IMU events are handed over as one push_imu_batch: at
+    # 200 Hz the per-sample python call overhead is ~4 ms per frame, pure
+    # host tax on the replay loop (propagation semantics are per-sample
+    # either way — see push_imu_batch)
+    imu_pend: list = []
+
+    def _flush_imu():
+        if imu_pend:
+            pipeline.push_imu_batch([e[1] for e in imu_pend],
+                                    [e[2] for e in imu_pend],
+                                    [e[3] for e in imu_pend])
+            imu_pend.clear()
+
     for ev in events:
         kind = ev[0]
         if kind == "imu":
-            pipeline.push_imu(ev[1], ev[2], ev[3])
+            if hasattr(pipeline, "push_imu_batch"):
+                imu_pend.append(ev)
+            else:
+                pipeline.push_imu(ev[1], ev[2], ev[3])
         elif kind == "image":
+            _flush_imu()
             pipeline.push_image(ev[1], ev[2],
                                 mask=ev[3] if len(ev) > 3 else None)
         elif kind == "scan":
+            _flush_imu()
             pipeline.push_scan(ev[1], ev[2], ev[3])
         n += 1
         if max_events and n >= max_events:
             break
+    _flush_imu()
     if hasattr(pipeline, "finalize"):
         pipeline.finalize()  # drain in-flight frames + loop queries
     return pipeline

@@ -109,9 +109,8 @@ def _dequant_scan(pts_i16, val_packed, quant, n: int):
 @functools.partial(jax.jit, static_argnames=("cam", "tcfg", "lcfg", "ecfg"))
 def _vil_frame_program(tracker_state, lidar_state,
                        window, feats, pre, lidarc, prior,
-                       img, t, key, pts, val,
-                       acc_b, gyr_b, dt_b, n_imu,
-                       q_il, t_il, q_li, t_li, q_cl, t_cl, tsh_scale,
+                       img, pts, val, imu_hdr,
+                       q_il, t_il, q_li, t_li, q_cl, t_cl,
                        cam, tcfg, lcfg, ecfg):
     """The ENTIRE steady-state vil frame as ONE XLA program: tracker ->
     lidar odometry -> extrinsic glue -> depth association -> fused estimator
@@ -125,7 +124,31 @@ def _vil_frame_program(tracker_state, lidar_state,
     the stages still exist as functions, the deployment composes them into
     one device program per frame (the reference's per-frame work across its
     4 processes, launch/run_fusion.launch:13-36, with the process hops
-    compiled away)."""
+    compiled away).
+
+    Per-frame host->device traffic is FOUR uploads: img (uint8), pts, val,
+    and `imu_hdr` — a (imu_cap+1, 7) f32 block whose rows [:cap] carry
+    [acc | gyr | dt] and whose LAST row is the frame header
+    [t, n_imu, tsh_scale (rolling-shutter readout scale TR/ROW), quant].
+    Every other per-frame scalar (timestamp, RNG key, counts) is derived
+    in-program: under tunnel round-trip latency each additional small
+    upload costs as much as a megabyte one. Scan dequantization (int16
+    fixed-point + bit-packed validity, see push_scan) happens here too —
+    the dtype of `pts` selects the variant at trace time — and the f32
+    cloud is returned for global fusion, so no separate dequant dispatch."""
+    hdr = imu_hdr[-1]
+    t = hdr[0]
+    n_imu = hdr[1].astype(jnp.int32)
+    tsh_scale = hdr[2]
+    # acc/gyr fill rows [:cap]; dt is (cap-1,) by _pack_imu's contract
+    acc_b, gyr_b, dt_b = imu_hdr[:-1, 0:3], imu_hdr[:-1, 3:6], imu_hdr[:-2, 6]
+    if pts.dtype == jnp.int16:  # static at trace time
+        n = pts.shape[0]
+        pts = pts.astype(jnp.float32) * hdr[3]
+        bits = (val[:, None] >> jnp.arange(8, dtype=val.dtype)) & 1
+        val = (bits[:, ::-1].reshape(-1) > 0)[:n]  # numpy packbits: MSB-first
+    key = jax.random.PRNGKey(jnp.floor(t * 1e3).astype(jnp.int32)
+                             & 0x7FFFFFFF)
     tracker_state, obs = trk.track_step(tracker_state, img, t, cam, tcfg,
                                         key=key)
     lidar_state, (lq, lp, lqr, lpr) = lo.odometry_step(lidar_state, pts, val,
@@ -146,7 +169,7 @@ def _vil_frame_program(tracker_state, lidar_state,
         obs["ids"], obs["xy"], obs["vel"], depth, tsh,
         q_imu, p_imu, jnp.asarray(True), jnp.asarray(True), ecfg)
     return (tracker_state, lidar_state, window, feats, pre, lidarc, prior,
-            out, lq, lp, obs["ids"], depth)
+            out, lq, lp, obs["ids"], depth, pts, val)
 
 
 @dataclass
@@ -354,6 +377,12 @@ class VILFusionPipeline:
         self.last_processed_t = None
         self.outputs = PipelineOutputs()
         self.restarts = 0
+        # per-restart cause record (VERDICT r4 #3): which failure_detection
+        # predicate(s) fired / which watchdog, at what stream time, how long
+        # after the estimator (re)initialized — dumped into acceptance
+        # reports so restarts are diagnosable, not just counted
+        self.restart_log: list = []
+        self._init_t: Optional[float] = None  # last (re)initialization time
 
         # cross-frame stage overlap (the reference's 4 concurrent processes,
         # launch/run_fusion.launch:13-36, reborn as bounded-depth async
@@ -378,6 +407,27 @@ class VILFusionPipeline:
         if len(self._imu_hist) > 4096:
             del self._imu_hist[:2048]
         return self._propagate_high_rate(float(t), np.asarray(acc), np.asarray(gyr))
+
+    def push_imu_batch(self, ts, acc, gyr):
+        """Feed a contiguous IMU segment in ONE call. The per-sample
+        push_imu costs ~4 ms/frame of pure python overhead at 200 Hz under
+        the deployment feed (20 calls x conversions); ROS delivered samples
+        one callback at a time (estimator_node.cpp imu_callback :158-182) —
+        a single-controller host can hand over the whole inter-frame batch.
+        Returns the high-rate pose after the last sample (pubLatestOdometry
+        semantics are preserved: propagation is still per-sample)."""
+        ts = np.asarray(ts, np.float64)
+        acc = np.asarray(acc, np.float64)
+        gyr = np.asarray(gyr, np.float64)
+        rows = list(zip(ts.tolist(), acc, gyr))
+        self.imu_buf.extend(rows)
+        self._imu_hist.extend(rows)
+        if len(self._imu_hist) > 4096:
+            del self._imu_hist[:2048]
+        out = None
+        for k in range(len(rows)):
+            out = self._propagate_high_rate(rows[k][0], acc[k], gyr[k])
+        return out
 
     def _propagate_high_rate(self, t, acc, gyr):
         hr = getattr(self, "_hr", None)
@@ -416,7 +466,7 @@ class VILFusionPipeline:
     def push_image(self, t, img, mask=None):
         # stream watchdog: a long camera gap restarts the estimator
         if self.last_image_t is not None and t - self.last_image_t > self.CAMERA_GAP_RESTART:
-            self._restart()
+            self._restart(cause="camera_gap")
         self.last_image_t = float(t)
         self.image_buf.append((float(t), img, mask))
         return self._try_process()
@@ -448,12 +498,22 @@ class VILFusionPipeline:
         return jnp.asarray(pts, jnp.float32), jnp.asarray(val)
 
     # ------------------------------------------------------------------
-    def _restart(self):
+    def _restart(self, cause: str = "estimator_failure"):
         """restart_callback analog (estimator_node.cpp:199-218): flush and
         reinitialize the estimator; tracker and maps survive. In LiDAR modes
         the reboot is seeded from the surviving LiDAR odometry pose so the
         estimator resumes in a consistent world frame instead of re-running
         visual-inertial initialization from scratch."""
+        t_now = self.last_processed_t if self.last_processed_t is not None \
+            else self.last_image_t
+        entry = dict(t=t_now, cause=cause,
+                     since_init_s=(None if self._init_t is None or t_now is None
+                                   else round(t_now - self._init_t, 2)))
+        if cause == "estimator_failure":
+            mask = getattr(self.estimator, "fail_mask", 0)
+            entry["predicates"] = est_mod.decode_failure(mask)
+        self.restart_log.append(entry)
+        self._init_t = None
         self.estimator = est_mod.VILEstimator(self.est_cfg)
         self.estimator.set_extrinsics(qic=self.rig.q_ic, tic=self.rig.t_ic,
                                       td=self.rig.td)
@@ -679,33 +739,43 @@ class VILFusionPipeline:
         rec["fetch"] = fetch
         return rec
 
+    def _imu_hdr_upload(self, t, tsh_scale):
+        """(imu_cap+1, 7) f32 block: IMU segment + frame header, ONE upload
+        (see _vil_frame_program's traffic contract)."""
+        acc, gyr, dts = self._imu_segment_for_frame(t)
+        acc_b, gyr_b, dt_b, n_imu = self.estimator._pack_imu(acc, gyr, dts)
+        blk = np.zeros((acc_b.shape[0] + 1, 7), np.float32)
+        blk[:-1, 0:3] = acc_b
+        blk[:-1, 3:6] = gyr_b
+        blk[:len(dt_b), 6] = dt_b  # dt is (cap-1,) by _pack_imu's contract
+        blk[-1, :4] = (t, n_imu, tsh_scale, self.scan_quant)
+        return jnp.asarray(blk)
+
     def _issue_frame_fused(self, rec, t, img, scan):
         """One-dispatch steady-state vil frame (see _vil_frame_program)."""
-        import jax
-
         est = self.estimator
         _t_s, pts, val = scan
-        pts_dev, val_dev = self._scan_dev(pts, val)
-        acc, gyr, dts = self._imu_segment_for_frame(t)
-        acc_b, gyr_b, dt_b, n_imu = est._pack_imu(acc, gyr, dts)
-        tsh_scale = (self.rig.tr / self.rig.image_height
-                     if self.rig.rolling_shutter and self.rig.tr != 0.0
-                     else 0.0)
+        with GLOBAL_TIMERS.timed("feed_uploads"):
+            # quantized scans upload raw (int16 + packed bits); the program
+            # dequantizes on device and returns the f32 cloud
+            pts_dev = jnp.asarray(pts)
+            val_dev = jnp.asarray(val)
+            img_dev = jnp.asarray(img)
+            tsh_scale = (self.rig.tr / self.rig.image_height
+                         if self.rig.rolling_shutter and self.rig.tr != 0.0
+                         else 0.0)
+            imu_hdr = self._imu_hdr_upload(t, tsh_scale)
         with GLOBAL_TIMERS.timed("vil_fused_frame"):
             (self.tracker_state, self.lidar_state, est.window, est.feats,
              est.pre, est.lidar, est.prior, out, lq, lp, obs_ids,
-             dep_dev) = _vil_frame_program(
+             dep_dev, pts_f, val_f) = _vil_frame_program(
                 self.tracker_state, self.lidar_state,
                 est.window, est.feats, est.pre, est.lidar, est.prior,
-                jnp.asarray(img), jnp.float32(t),
-                jax.random.PRNGKey(int(t * 1e3) & 0x7FFFFFFF),
-                pts_dev, val_dev,
-                jnp.asarray(acc_b), jnp.asarray(gyr_b), jnp.asarray(dt_b),
-                jnp.int32(n_imu),
+                img_dev, pts_dev, val_dev, imu_hdr,
                 self.q_il, self.t_il, self.q_li, self.t_li,
-                self.q_cl, self.t_cl, jnp.float32(tsh_scale),
+                self.q_cl, self.t_cl,
                 self.cam, self.tracker_cfg, self.lidar_cfg, self.est_cfg)
-        rec["scan"] = (lq, lp, pts_dev, val_dev)
+        rec["scan"] = (lq, lp, pts_f, val_f)
         slot = est_mod.K - 2
         rec.update(out=out, window=est.window, feats=est.feats,
                    hr_ba=est.window.ba[slot], hr_bg=est.window.bg[slot],
@@ -728,6 +798,8 @@ class VILFusionPipeline:
         v_est = np.asarray(host[2])
         stale = rec["gen"] != self._gen
         if not stale:
+            if self._init_t is None:
+                self._init_t = rec["t"]  # deferred path implies initialized
             self.estimator.absorb_result(host[3], host[4])
             if self.estimator.failed:
                 # failureDetection reboot, sync_depth frames late (the
@@ -891,6 +963,8 @@ class VILFusionPipeline:
             # failureDetection reboot (estimator.cpp:212-219)
             self._restart()
         elif self.estimator.initialized:
+            if self._init_t is None:
+                self._init_t = t
             self._reset_high_rate(t)  # re-seed IMU-rate propagation
 
         # 5. visual loop closure (pose_graph node rebuild): keyframe-gated
@@ -1016,6 +1090,8 @@ class VILFusionPipeline:
             window, feats, jnp.int32(slot))
         valid = np.asarray(valid)
         if valid.sum() < 10:
+            self.visual_loop.stats["skip_few_landmarks"] = \
+                self.visual_loop.stats.get("skip_few_landmarks", 0) + 1
             return None
         pts_w = np.asarray(pts_w)[valid]
         obs_xy = np.asarray(obs_xy)[valid]

@@ -2,8 +2,15 @@
 
 The reference wraps every stage in wall-clock `TicToc` stopwatches and logs
 via ROS_DEBUG (SURVEY §5 "Tracing"). Here: a process-wide registry of named
-timers with mean/max/count and optional JSON dump — usable around jitted
-calls (remember to block_until_ready when timing device work).
+timers with mean/median/p90/max/count and optional JSON dump — usable around
+jitted calls (remember to block_until_ready when timing device work).
+
+Percentiles exist because first-call XLA compiles land inside whatever timer
+wraps them (tens of seconds through the remote-compile tunnel): a mean over a
+replay is compile-polluted and decomposes nothing, while p50/p90 give the
+steady-state cost (VERDICT r4 weak #5). Samples are kept in a bounded
+reservoir (`MAX_SAMPLES`, keep-first + wraparound-overwrite) so a million-
+frame replay cannot grow memory unboundedly.
 """
 from __future__ import annotations
 
@@ -12,10 +19,13 @@ import json
 import time
 from collections import defaultdict
 
+MAX_SAMPLES = 8192
+
 
 class StageTimers:
     def __init__(self):
-        self.stats = defaultdict(lambda: {"n": 0, "total": 0.0, "max": 0.0})
+        self.stats = defaultdict(
+            lambda: {"n": 0, "total": 0.0, "max": 0.0, "samples": []})
 
     @contextlib.contextmanager
     def timed(self, name: str):
@@ -28,13 +38,25 @@ class StageTimers:
             s["n"] += 1
             s["total"] += dt
             s["max"] = max(s["max"], dt)
+            if len(s["samples"]) < MAX_SAMPLES:
+                s["samples"].append(dt)
+            else:  # overwrite cyclically; early compile samples age out
+                s["samples"][s["n"] % MAX_SAMPLES] = dt
 
     def summary(self) -> dict:
-        return {
-            k: {"n": v["n"], "mean_ms": 1e3 * v["total"] / max(v["n"], 1),
-                "max_ms": 1e3 * v["max"], "total_s": v["total"]}
-            for k, v in self.stats.items()
-        }
+        out = {}
+        for k, v in self.stats.items():
+            sm = sorted(v["samples"])
+            n = len(sm)
+            out[k] = {
+                "n": v["n"],
+                "mean_ms": 1e3 * v["total"] / max(v["n"], 1),
+                "p50_ms": 1e3 * sm[n // 2] if n else 0.0,
+                "p90_ms": 1e3 * sm[min(n - 1, (9 * n) // 10)] if n else 0.0,
+                "max_ms": 1e3 * v["max"],
+                "total_s": v["total"],
+            }
+        return out
 
     def report(self) -> str:
         return json.dumps(self.summary(), indent=2, sort_keys=True)
