@@ -56,8 +56,12 @@ def main():
                              fov_down_deg=-24.8, edge_cap=2048,
                              surf_cap=8192),
         edge_map_cap=16384, surf_map_cap=32768)
+    # urban scene at moderate density: the default RaycastScene is
+    # geometry-poor on a radius-60 circuit (first A/B attempt measured ATE
+    # ~3.6-3.9 m for EVERY arm incl. exact — degenerate ground-plane-only
+    # registration whose arm deltas are meaningless)
     scene = sim.JaxRaycast(sim.urban_block_scene(
-        60.0, pillar_step_deg=4.0, box_step_deg=6.0))
+        60.0, pillar_step_deg=8.0, box_step_deg=10.0))
     traj = sim.LoopTrajectory(radius=60.0, period=2 * np.pi * 60.0 / 8.0,
                               laps=1.0)
     n_frames = 60
@@ -85,8 +89,12 @@ def main():
         traj[name], wall[name] = run(a, r, scans, cfg)
 
     def ate(p):
-        e = np.linalg.norm((p - p[0]) - gt, axis=-1)
-        return round(float(np.sqrt((e ** 2).mean())), 5)
+        # Umeyama-aligned ATE: odometry starts at identity while GT starts
+        # mid-circle, so unaligned error is dominated by the constant frame
+        # rotation, not drift
+        from vil_fusion_tpu.runtime import tum
+
+        return round(tum.ate_rmse(p, gt), 5)
 
     p_exact = traj["exact"]
     out = {

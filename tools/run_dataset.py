@@ -72,7 +72,11 @@ def main():
     viz.render_pipeline_report(pipe, args.out)
 
     report = {"frames": len(pipe.outputs.ts), "restarts": pipe.restarts,
+              "restart_log": pipe.restart_log,
               "timers": GLOBAL_TIMERS.summary()}
+    if pipe.visual_loop is not None:
+        report["n_visual_loops"] = int(pipe.visual_loop.graph.n_loops)
+        report["visual_loop_stats"] = pipe.visual_loop.stats_summary()
     try:
         gt = ds.ground_truth()
         # initialized frames only (reference pubOdometry gating)

@@ -223,7 +223,7 @@ def _gn_system(q, p, edge_x, e_cent, e_dir, e_ok, surf_x, s_n, s_d, s_ok, cfg: O
 def scan_to_map(
     feats: LidarFeatures,
     edge_map, edge_map_valid, surf_map, surf_map_valid,
-    q_init, p_init, cfg: OdomConfig, map_origin=None,
+    q_init, p_init, cfg: OdomConfig, map_origin=None, warm=None,
 ):
     """Register a feature scan against the local map (optimation_processing
     :235-296): n_outer association passes, n_inner damped-GN steps each."""
@@ -251,14 +251,22 @@ def scan_to_map(
     # Association passes. Pass 1 scans the full map (Pallas kNN); later
     # passes re-rank the CACHED pass-1 candidates under the updated pose
     # (cfg.reuse_knn) instead of re-scanning — the second full kNN is the
-    # single most expensive slab of the frame program, and the pose moves
-    # mm-cm between passes under the constant-velocity prediction, so the
-    # 5-NN set at the refined pose is pass 1's set to within the tolerance
-    # gates (tools/ab_knn.py A/Bs the trajectory delta; the reference
-    # re-queries its kd-trees each relinearization,
-    # EstimationMapping.hpp:254-285). Neighbors missing in pass 1
-    # (non-finite d2) stay masked: recomputing distances on their padded
-    # indices would resurrect invalid correspondences.
+    # single most expensive slab of the frame program, and once the
+    # constant-velocity prediction is warm the pose moves mm-cm between
+    # passes, so the 5-NN set at the refined pose is pass 1's set to within
+    # the tolerance gates. COLD frames are the exception: with no velocity
+    # estimate the prediction can be a full frame-motion off (~1 m), pass-1
+    # candidates are found at a badly wrong pose, and reusing them bakes a
+    # persistent early offset into the trajectory (measured ~0.28 m mean
+    # over a 45 m A/B before the gate; tools/ab_knn.py) — so reuse is
+    # gated on `warm` (odometry frame_count >= 3) via lax.cond and cold
+    # frames re-query the map exactly like the reference's per-
+    # relinearization kd-tree queries (EstimationMapping.hpp:254-285).
+    # Neighbors missing in pass 1 (non-finite d2) stay masked: recomputing
+    # distances on their padded indices would resurrect invalid
+    # correspondences.
+    if warm is None:
+        warm = jnp.asarray(True)
     q, p = q_init, p_init
     cache = {}
     for outer in range(cfg.n_outer):
@@ -274,13 +282,28 @@ def scan_to_map(
             cache = dict(e_idx=e_idx, e_fin=jnp.isfinite(e_d2).all(-1),
                          s_idx=s_idx, s_fin=jnp.isfinite(s_d2).all(-1))
         else:
-            e_idx, s_idx = cache["e_idx"], cache["s_idx"]
-            e_d2 = jnp.sum((e_w[:, None, :] - edge_map[e_idx]) ** 2, -1)
-            e_d2 = jnp.sort(jnp.where(cache["e_fin"][:, None], e_d2,
-                                      jnp.inf), axis=-1)
-            s_d2 = jnp.sum((s_w[:, None, :] - surf_map[s_idx]) ** 2, -1)
-            s_d2 = jnp.sort(jnp.where(cache["s_fin"][:, None], s_d2,
-                                      jnp.inf), axis=-1)
+            def _reuse(e_w=e_w, s_w=s_w, cache=cache):
+                e_idx, s_idx = cache["e_idx"], cache["s_idx"]
+                e_d2 = jnp.sum((e_w[:, None, :] - edge_map[e_idx]) ** 2, -1)
+                e_d2 = jnp.sort(jnp.where(cache["e_fin"][:, None], e_d2,
+                                          jnp.inf), axis=-1)
+                s_d2 = jnp.sum((s_w[:, None, :] - surf_map[s_idx]) ** 2, -1)
+                s_d2 = jnp.sort(jnp.where(cache["s_fin"][:, None], s_d2,
+                                          jnp.inf), axis=-1)
+                return e_d2, e_idx, s_d2, s_idx
+
+            def _requery(e_w=e_w, s_w=s_w):
+                e_d2, e_idx = _map_knn(e_w, edge_map, edge_map_valid, cfg,
+                                       cfg.edge_map_voxel,
+                                       cfg.edge_hash_radius,
+                                       map_origin, presorted)
+                s_d2, s_idx = _map_knn(s_w, surf_map, surf_map_valid, cfg,
+                                       cfg.surf_map_voxel,
+                                       cfg.surf_hash_radius,
+                                       map_origin, presorted)
+                return e_d2, e_idx, s_d2, s_idx
+
+            e_d2, e_idx, s_d2, s_idx = jax.lax.cond(warm, _reuse, _requery)
         e_cent, e_dir, e_ok = edge_correspondences(
             e_w, feats.edge_valid, edge_map, e_d2, e_idx, cfg)
         s_n, s_d, s_ok = surf_correspondences(
@@ -352,7 +375,7 @@ def odometry_step(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
         return scan_to_map(
             feats, state.edge_map, state.edge_map_valid,
             state.surf_map, state.surf_map_valid, q_pred, p_pred, cfg,
-            state.map_origin)
+            state.map_origin, warm=state.frame_count >= 3)
 
     def first_frame(_):
         return state.q, state.p
