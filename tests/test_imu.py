@@ -126,3 +126,36 @@ def test_preintegrate_jit_compiles_once():
     out = f(jnp.asarray(acc, jnp.float32), jnp.asarray(gyr, jnp.float32),
             jnp.asarray(dt, jnp.float32), jnp.zeros(3), jnp.zeros(3))
     assert out.dp.shape == (3,)
+
+
+def test_parallel_preintegration_matches_sequential():
+    """The log-depth associative-scan preintegration must reproduce the
+    sequential lax.scan reference to f32 rounding — deltas, 15x15 bias
+    jacobian, AND covariance — including dt==0 padding steps."""
+    rng = np.random.default_rng(7)
+    n = 64  # imu_cap-shaped segment: 63 steps, last 20 padded with dt=0
+    acc = rng.normal([0.2, -0.1, 9.81], 0.4, (n, 3)).astype(np.float32)
+    gyr = rng.normal([0.02, 0.3, -0.1], 0.1, (n, 3)).astype(np.float32)
+    dt = np.full((n - 1,), 0.005, np.float32)
+    dt[-20:] = 0.0
+    ba = np.array([0.05, -0.02, 0.01], np.float32)
+    bg = np.array([0.002, 0.001, -0.003], np.float32)
+    noise = imu.ImuNoise()
+
+    seq = imu.preintegrate(jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dt),
+                           jnp.asarray(ba), jnp.asarray(bg), noise,
+                           parallel=False)
+    par = imu.preintegrate(jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dt),
+                           jnp.asarray(ba), jnp.asarray(bg), noise,
+                           parallel=True)
+    np.testing.assert_allclose(np.asarray(par.dp), np.asarray(seq.dp),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par.dq), np.asarray(seq.dq),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par.dv), np.asarray(seq.dv),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par.jac), np.asarray(seq.jac),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.cov), np.asarray(seq.cov),
+                               rtol=1e-4, atol=1e-8)
+    assert float(par.dt_sum) == float(seq.dt_sum)

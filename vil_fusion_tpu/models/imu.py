@@ -126,6 +126,7 @@ def preintegrate(
     ba: jnp.ndarray,
     bg: jnp.ndarray,
     noise: ImuNoise = ImuNoise(),
+    parallel: bool = True,
 ) -> Preintegrated:
     """Preintegrate an IMU segment of N+1 samples (N steps).
 
@@ -134,10 +135,15 @@ def preintegrate(
       gyr: (N+1, 3) gyro samples.
       dt:  (N,) step durations; entries may be 0 (identity padding).
       ba, bg: (3,) linearization-point biases.
+      parallel: log-depth associative-scan formulation (default; see
+        preintegrate_parallel) vs the sequential lax.scan reference.
 
-    Replaces IntegrationBase::propagate loop (integration_base.h:147-158) with
-    one lax.scan — compiled once for the fixed capacity N.
+    Replaces IntegrationBase::propagate loop (integration_base.h:147-158);
+    both paths are compiled once for the fixed capacity N and agree to f32
+    rounding (test_imu.py::test_parallel_preintegration_matches_sequential).
     """
+    if parallel:
+        return preintegrate_parallel(acc, gyr, dt, ba, bg, noise)
     dtype = acc.dtype
     Q18 = _noise_cov(noise, dtype)
     init = (
@@ -152,6 +158,111 @@ def preintegrate(
         lambda c, x: _midpoint_step(c, x, ba, bg, Q18), init, inputs
     )
     return Preintegrated(dp, dq, dv, jac, cov, jnp.sum(dt), ba, bg)
+
+
+def preintegrate_parallel(
+    acc: jnp.ndarray,
+    gyr: jnp.ndarray,
+    dt: jnp.ndarray,
+    ba: jnp.ndarray,
+    bg: jnp.ndarray,
+    noise: ImuNoise = ImuNoise(),
+) -> Preintegrated:
+    """Log-depth preintegration: the SAME midpoint math as _midpoint_step,
+    restructured for the TPU's latency profile. A 63-step lax.scan is 63
+    serial dispatches of tiny 15x15 matmuls — pure latency. The recurrence
+    decomposes into associative pieces:
+
+      1. per-step rotation increments r_k = exp((w_mid_k - bg) dt_k)
+         — independent, computed batched;
+      2. prefix rotations dq_k = r_0 ⊗ ... ⊗ r_k — an associative_scan of
+         quaternion products (depth log2 N);
+      3. dv/dp are then plain (ex/in)clusive cumulative sums of
+         un_acc_k dt_k terms (the midpoint update is affine given the
+         rotations);
+      4. the (jacobian, covariance) pair composes associatively:
+         (J2,P2)∘(J1,P1) = (J2 J1, J2 P1 J2ᵀ + P2), with per-step leaves
+         (F_k, V_k Q V_kᵀ) built batched — one associative_scan of 15x15
+         matmuls (depth log2 N).
+
+    dt == 0 padding steps contribute exact identities ((I, 0) leaves,
+    identity quaternions), as in the sequential path.
+    """
+    dtype = acc.dtype
+    Q18 = _noise_cov(noise, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    a0 = acc[:-1] - ba  # (N, 3)
+    a1 = acc[1:] - ba
+    un_gyr = 0.5 * (gyr[:-1] + gyr[1:]) - bg  # (N, 3)
+    N = a0.shape[0]
+
+    # 1-2: prefix rotations
+    r = lie.so3_exp(un_gyr * dt[:, None])  # (N, 4)
+    dq_after = jax.lax.associative_scan(
+        lambda x, y: lie.qnormalize(lie.qmul(x, y)), r)
+    q_id = jnp.array([1.0, 0, 0, 0], dtype)
+    dq_before = jnp.concatenate([q_id[None], dq_after[:-1]], axis=0)
+    R0 = lie.q2R(dq_before)  # (N, 3, 3)
+    R1 = lie.q2R(dq_after)
+
+    # 3: dv / dp cumulative sums
+    un_acc = 0.5 * (jnp.einsum("nij,nj->ni", R0, a0)
+                    + jnp.einsum("nij,nj->ni", R1, a1))  # (N, 3)
+    u = un_acc * dt[:, None]
+    dv_before = jnp.cumsum(u, axis=0) - u  # exclusive prefix
+    dv = jnp.sum(u, axis=0)
+    dp = jnp.sum(dv_before * dt[:, None] + 0.5 * un_acc * dt[:, None] ** 2,
+                 axis=0)
+
+    # 4: batched F_k / V_k Q V_kᵀ leaves (same entries as _midpoint_step)
+    a0h = lie.skew(a0)  # (N, 3, 3)
+    a1h = lie.skew(a1)
+    wh = lie.skew(un_gyr)
+    dtc = dt[:, None, None]
+    dt2 = dtc * dtc
+    I_wdt = eye3[None] - wh * dtc
+    R0a0 = R0 @ a0h
+    R1a1 = R1 @ a1h
+    eyeN = jnp.broadcast_to(eye3, (N, 3, 3))
+
+    F = jnp.zeros((N, 15, 15), dtype=dtype)
+    F = F.at[:, 0:3, 0:3].set(eyeN)
+    F = F.at[:, 0:3, 3:6].set(-0.25 * R0a0 * dt2 - 0.25 * (R1a1 @ I_wdt) * dt2)
+    F = F.at[:, 0:3, 6:9].set(eyeN * dtc)
+    F = F.at[:, 0:3, 9:12].set(-0.25 * (R0 + R1) * dt2)
+    F = F.at[:, 0:3, 12:15].set(0.25 * R1a1 * dt2 * dtc)
+    F = F.at[:, 3:6, 3:6].set(I_wdt)
+    F = F.at[:, 3:6, 12:15].set(-eyeN * dtc)
+    F = F.at[:, 6:9, 3:6].set(-0.5 * R0a0 * dtc - 0.5 * (R1a1 @ I_wdt) * dtc)
+    F = F.at[:, 6:9, 6:9].set(eyeN)
+    F = F.at[:, 6:9, 9:12].set(-0.5 * (R0 + R1) * dtc)
+    F = F.at[:, 6:9, 12:15].set(0.5 * R1a1 * dtc * dtc)
+    F = F.at[:, 9:12, 9:12].set(eyeN)
+    F = F.at[:, 12:15, 12:15].set(eyeN)
+
+    V = jnp.zeros((N, 15, 18), dtype=dtype)
+    V = V.at[:, 0:3, 0:3].set(0.25 * R0 * dt2)
+    V = V.at[:, 0:3, 3:6].set(-0.125 * R1a1 * dt2 * dtc)
+    V = V.at[:, 0:3, 6:9].set(0.25 * R1 * dt2)
+    V = V.at[:, 0:3, 9:12].set(-0.125 * R1a1 * dt2 * dtc)
+    V = V.at[:, 3:6, 3:6].set(0.5 * eyeN * dtc)
+    V = V.at[:, 3:6, 9:12].set(0.5 * eyeN * dtc)
+    V = V.at[:, 6:9, 0:3].set(0.5 * R0 * dtc)
+    V = V.at[:, 6:9, 3:6].set(-0.25 * R1a1 * dt2)
+    V = V.at[:, 6:9, 6:9].set(0.5 * R1 * dtc)
+    V = V.at[:, 6:9, 9:12].set(-0.25 * R1a1 * dt2)
+    V = V.at[:, 9:12, 12:15].set(eyeN * dtc)
+    V = V.at[:, 12:15, 15:18].set(eyeN * dtc)
+    VQV = V @ Q18 @ jnp.swapaxes(V, -1, -2)
+
+    def comb(x, y):
+        Jx, Px = x
+        Jy, Py = y
+        return (Jy @ Jx, Jy @ Px @ jnp.swapaxes(Jy, -1, -2) + Py)
+
+    Jall, Pall = jax.lax.associative_scan(comb, (F, VQV))
+    return Preintegrated(dp, lie.qnormalize(dq_after[-1]), dv,
+                         Jall[-1], Pall[-1], jnp.sum(dt), ba, bg)
 
 
 def bias_corrected_delta(pre: Preintegrated, ba: jnp.ndarray, bg: jnp.ndarray):

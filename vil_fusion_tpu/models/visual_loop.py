@@ -349,6 +349,7 @@ class VisualLoopDB:
                     "max": round(float(s[-1]), 4)}
 
         out = {k: v for k, v in st.items() if isinstance(v, int)}
+        out["win_landmarks"] = dist(st.get("win_landmarks", []))
         out["best_score"] = dist(st["best_scores"])
         out["second_score"] = dist(st["second_scores"])
         out["hamming_survivors"] = dist(st["hamming_matches"])

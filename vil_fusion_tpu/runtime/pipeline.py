@@ -1089,6 +1089,12 @@ class VILFusionPipeline:
         pts_w, obs_xy, ids, valid = est_mod.landmarks_world(
             window, feats, jnp.int32(slot))
         valid = np.asarray(valid)
+        # distribution of exportable (depth-resolved) window landmarks per
+        # keyframe: the Hamming gate needs >= MIN_LOOP_NUM matches OF these,
+        # so a low count here starves verification regardless of descriptor
+        # quality (ACCEPTANCE_r05 diagnosis)
+        self.visual_loop.stats.setdefault("win_landmarks", []).append(
+            int(valid.sum()))
         if valid.sum() < 10:
             self.visual_loop.stats["skip_few_landmarks"] = \
                 self.visual_loop.stats.get("skip_few_landmarks", 0) + 1
