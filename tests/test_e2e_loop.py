@@ -46,7 +46,11 @@ def _build_pipeline():
         q_cl=sim.R_to_q(R_BC.T), t_cl=np.zeros(3),
         max_cnt=150, min_dist=12, n_scan=32,
         lidar_fov_up=30.0, lidar_fov_down=-30.0, lidar_min_range=1.0,
-        lidar_max_range=80.0, use_lidar=True)
+        lidar_max_range=80.0, use_lidar=True,
+        # small indoor-scale rig: surfaces close, triangulation weak — hold
+        # lidar depths constant down to very shallow incidence (the KITTI
+        # rigs keep the 0.1 default; see RigConfig.depth_min_incidence)
+        depth_min_incidence=0.02)
     return VILFusionPipeline(
         rig, mode="vil", visual_loop=True, sync_depth=2,
         gf_cfg=gf.GlobalFusionConfig(keyframe_dist=1.5, node_capacity=512,

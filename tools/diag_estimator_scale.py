@@ -103,7 +103,8 @@ def main():
             xy_err = float(np.linalg.norm(p_now[:2] - gt_p[:2]))
             print(f"i={i:3d} act={act:3d} lidar_dep={dep:3d} tri={tri:3d} "
                   f"|ba|={ba_n:6.3f} z={z_err:+7.3f} xy={xy_err:6.2f} "
-                  f"cost={est.last_cost:9.1f} restarts={pipe.restarts}",
+                  f"cost={getattr(est, 'last_cost', float('nan')):9.1f} "
+                  f"restarts={pipe.restarts}",
                   flush=True)
     print("restart_log:", pipe.restart_log)
 

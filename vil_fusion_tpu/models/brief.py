@@ -89,7 +89,7 @@ def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray):
 
 @jax.jit
 def match(desc_a, valid_a, desc_b, valid_b, max_dist: int = 80,
-          ratio: float = 0.85):
+          ratio: float = 0.9):
     """Best-match per row with the reference's Hamming < 80 gate
     (keyframe.cpp:121-171) PLUS a Lowe-style ratio test against the
     second-best match (best < ratio * second). The reference's DBoW2-BRIEF

@@ -20,6 +20,10 @@ import jax.numpy as jnp
 
 from vil_fusion_tpu.ops.pallas import knn_pallas as knn_ops  # Pallas on TPU, XLA elsewhere
 
+# minimum |cos| between the view ray and the 3-NN plane normal (~6 deg off
+# the surface plane); see the grazing-incidence gate below
+MIN_INCIDENCE = 0.1
+
 
 @functools.partial(jax.jit, static_argnames=())
 def feature_depth(
@@ -27,6 +31,7 @@ def feature_depth(
     feat_valid: jnp.ndarray,  # (N,)
     cloud_cam: jnp.ndarray,  # (M, 3) LiDAR points in camera frame
     cloud_valid: jnp.ndarray,  # (M,)
+    min_incidence=None,  # strong/weak threshold (rig knob); None = module default
 ):
     """Returns (depth (N,), ok (N,)): depth along the camera ray, -1 invalid."""
     dtype = feat_xy.dtype
@@ -60,8 +65,31 @@ def feature_depth(
     s = jnp.einsum("ni,ni->n", n, nn[:, 0]) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e-6)
     s_ok = s > 0.5  # (:139-148)
 
+    # grazing-incidence CLASSIFICATION (DELIBERATE refinement of the
+    # reference's design): along view rays < ~6 deg off the local surface
+    # plane the depth error is range_noise / sin(incidence) — bias-prone
+    # error from cm of lidar noise — and the NN-band clamp below then
+    # systematically UNDERESTIMATES depth. The reference holds EVERY
+    # lidar-depthed feature CONSTANT in BA; with a textured ground plane
+    # that feeds a coherent downward pull (measured 0.5 m/s of VIO z-sink
+    # with |ba| ramping past the failure threshold every ~20 s at
+    # acceptance scale; tools/diag_estimator_scale.py ablations). But
+    # DROPPING grazing depths entirely starves geometry-poor small scenes
+    # whose triangulation is weak (toy-scale estimator went unstable).
+    # Resolution: STRONG (steep-incidence) depths are returned positive and
+    # become reference-style constant-depth features; WEAK (grazing) depths
+    # are returned NEGATED and serve as inverse-depth INITIALIZATION only —
+    # BA refines them, so their bias cannot lock in (see
+    # estimator.ingest_features).
+    if min_incidence is None:
+        min_incidence = MIN_INCIDENCE
+    n_norm = jnp.linalg.norm(n, axis=-1)
+    incidence = jnp.abs(denom) / jnp.maximum(n_norm, 1e-9)
+    strong = incidence > min_incidence
+
     # clamp into NN range band (:150-157)
     s = jnp.clip(s, jnp.min(nn_rng, axis=-1), jnp.max(nn_rng, axis=-1))
     depth = s * rays[:, 2]  # z-depth along optical axis
     ok = found & spread_ok & s_ok & (depth > 2.0)  # min-depth gate (:164)
-    return jnp.where(ok, depth, -1.0), ok
+    signed = jnp.where(strong, depth, -depth)  # weak < -2; sentinel is -1
+    return jnp.where(ok, signed, -1.0), ok

@@ -105,8 +105,14 @@ def ingest_features(
         jnp.where(has_match, pad(feats.start)[slot], fc))[:F]
     # lidar depth injection for NEW tracks only (depth is anchored at start
     # frame; reference injects when measured at the track's start,
-    # feature_manager.cpp:74-79)
-    new_depth_val = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-3), -1.0)
+    # feature_manager.cpp:74-79). Sign convention from feature_depth:
+    # positive = strong incidence -> constant-depth feature (lidar_flag,
+    # the reference's SetParameterBlockConstant semantics); negative
+    # (< -2 m) = grazing incidence -> the depth only INITIALIZES inv_depth
+    # and BA refines it (bias-prone grazing depths must not lock in).
+    mag = jnp.abs(depth)
+    has_depth = mag >= 2.0
+    new_depth_val = jnp.where(has_depth, 1.0 / jnp.maximum(mag, 1e-3), -1.0)
     inv_depth = pad(feats.inv_depth).at[slot].set(
         jnp.where(has_match, pad(feats.inv_depth)[slot], new_depth_val))[:F]
     lidar_flag = pad(feats.lidar_flag).at[slot].set(
@@ -197,7 +203,8 @@ def landmarks_world(state: WindowState, feats: FeatureStore, slot: jnp.ndarray):
     valid = (feats.active & (feats.inv_depth > 0)
              & feats.obs_valid[rows, s] & feats.obs_valid[:, slot])
     obs_at = feats.obs[:, slot]
-    return pts_w, obs_at, feats.feat_id, valid
+    observed = feats.active & feats.obs_valid[:, slot]
+    return pts_w, obs_at, feats.feat_id, valid, observed
 
 
 @jax.jit

@@ -39,8 +39,15 @@ RECENT_EXCLUDE = 50  # pose_graph.cpp detectLoop skip last 50
 
 class VisualLoopConfig(NamedTuple):
     capacity: int = 2048
-    win_cap: int = 128  # window-point descriptors per keyframe
-    extra_cap: int = 256  # extra corners (reference: 500)
+    win_cap: int = 256  # 3-D-anchored descriptors per keyframe: estimator
+    # window landmarks PLUS lidar-depthed extra corners (see add_keyframe) —
+    # raised from 128 so the depthed extras fit; the Hamming stage needs
+    # >= MIN_LOOP_NUM of THESE to match, so this cap bounds verification
+    # recall directly
+    extra_cap: int = 384  # extra corners (reference: 500; raised from 256 —
+    # every cur-window point needs its counterpart present among the OLD
+    # keyframe's extras for the Hamming stage to count it, so extra
+    # coverage directly scales loop-verification recall)
     score_best: float = 0.05  # detectLoop tier-1 gate on the top score
     score_min: float = 0.015  # detectLoop tier-2 gate on runner-up scores
     top_k: int = 4  # BoW query width (db.query(..., 4, ...))
@@ -94,10 +101,18 @@ class VisualLoopDB:
 
     # ------------------------------------------------------------------
     def add_keyframe(self, img, q_wb, p_wb, pts3d_w, pts2d_px, pts_valid, cam,
-                     sequence: int = 0):
+                     sequence: int = 0, cloud_cam=None, cloud_valid=None):
         """Build + insert a keyframe; returns its index.
 
         pts3d_w: window landmarks (world); pts2d_px their pixel coords.
+        cloud_cam/cloud_valid: optional camera-frame LiDAR cloud of THIS
+        frame — extra corners that get a depth from it become additional
+        3-D-anchored match points (filling win slots beyond the window
+        landmarks). A VIL-native densification the camera-only reference
+        cannot do: the estimator exports only ~50 depth-resolved landmarks
+        per keyframe, and MIN_LOOP_NUM=25 Hamming matches OF the 3-D set is
+        the verification bottleneck (measured: pipeline keyframes matched
+        p50 15 survivors vs the 128-corner probe's 25+ at the same scale).
         `sequence` tags the session (new_sequence support): the 4-DoF graph
         omits sequential edges across session boundaries; a verified loop
         between sessions stitches them (pose_graph.cpp:45-126 merge)."""
@@ -129,6 +144,32 @@ class VisualLoopDB:
         ray = self._lift(cam, np.asarray(exy))
         self.extra_xy[i] = ray
         self.extra_valid[i] = np.asarray(evalid)
+
+        # lidar-depthed extras -> extra 3-D anchors in the win set
+        if cloud_cam is not None and wn < cfg.win_cap:
+            from vil_fusion_tpu.models import depth_association as da
+
+            dep, okd = da.feature_depth(
+                jnp.asarray(ray), jnp.asarray(evalid), cloud_cam, cloud_valid)
+            dep = np.asarray(dep)
+            # strong-incidence (positive) depths only: grazing depths are
+            # bias-prone and these points anchor loop PnP
+            okd = np.asarray(okd) & (dep > 0)
+            sel = np.nonzero(okd)[0][: cfg.win_cap - wn]
+            if len(sel):
+                R_wb = np.asarray(lie.q2R(jnp.asarray(q_wb, jnp.float32)),
+                                  np.float64)
+                R_ic = np.asarray(lie.q2R(jnp.asarray(self.qic, jnp.float32)),
+                                  np.float64)
+                R_wc = R_wb @ R_ic
+                p_wc = R_wb @ np.asarray(self.tic, np.float64) \
+                    + np.asarray(p_wb, np.float64)
+                pc = np.concatenate([ray[sel] * dep[sel, None],
+                                     dep[sel, None]], axis=1)
+                m = len(sel)
+                self.win_desc[i, wn:wn + m] = np.asarray(edesc)[sel]
+                self.win_pts3d[i, wn:wn + m] = pc @ R_wc.T + p_wc
+                self.win_valid[i, wn:wn + m] = True
 
         # BoW histogram over all descriptors
         all_desc = jnp.concatenate([wdesc, edesc], axis=0)
@@ -250,7 +291,17 @@ class VisualLoopDB:
             n_hyp=cfg.pnp_ransac_hyp, inlier_tol=cfg.pnp_inlier_px,
             key=jax.random.PRNGKey(self._ransac_calls))
         st["pnp_inliers"].append(int(inl.sum()))
-        if int(inl.sum()) < MIN_LOOP_NUM:
+        n_match = int(ok.sum())
+        if (int(inl.sum()) < MIN_LOOP_NUM
+                or int(inl.sum()) < 0.45 * n_match):
+            # count gate = reference (MIN_LOOP_NUM, keyframe.cpp:472-517);
+            # the FRACTION floor is ours: a false candidate in a repetitive
+            # scene can scrape together 25 borderline-consistent inliers
+            # out of 60+ matches, while genuine revisits turn 65-100% of
+            # their matches into inliers (probe distributions). A wrongly
+            # ACCEPTED loop re-anchors the whole window (relocalization
+            # feedback) — measured a 666 m VIO teleport from one at toy
+            # scale — so acceptance must be conservative.
             st["kill_pnp"] += 1
             return None
         # back to a body pose
@@ -262,7 +313,17 @@ class VisualLoopDB:
         p_cur = jnp.asarray(self.p[i_cur], jnp.float32)
         q_rel, p_rel = lie.pose_between((q_pnp, p_pnp), (q_cur, p_cur))
         ypr = np.asarray(lie.R2ypr(lie.q2R(q_rel)))
-        if abs(ypr[0]) > MAX_YAW_DEG or float(jnp.linalg.norm(p_rel)) > MAX_TRANS:
+        # |yaw| / ||t|| gates at the reference's constants, PLUS a
+        # drift-model bound: the loop translation measures accumulated VIO
+        # drift, which cannot exceed a generous fraction of the path
+        # traveled since the old keyframe — a candidate demanding a bigger
+        # correction than ~8%-of-path + slack is a false match, not drift
+        # (the reference's flat 20 m admits teleports on small circuits).
+        path_since = abs(i_cur - i_old) * self.cfg.keyframe_gap
+        t_bound = min(MAX_TRANS, max(2.0, 0.08 * path_since
+                                     + 2.0 * self.cfg.keyframe_gap))
+        if (abs(ypr[0]) > MAX_YAW_DEG
+                or float(jnp.linalg.norm(p_rel)) > t_bound):
             st["kill_yaw_trans"] += 1
             return None
         st["accepted"] += 1

@@ -102,6 +102,13 @@ class RigConfig:
     rolling_shutter: bool = False  # parameters.cpp ROLLING_SHUTTER
     tr: float = 0.0  # rolling-shutter readout time (s), parameters.cpp TR
     use_lidar: bool = True
+    # depth association: minimum |cos(view ray, surface normal)| for a lidar
+    # depth to be held CONSTANT in BA (the reference's
+    # SetParameterBlockConstant semantics); below it the depth only
+    # initializes the inverse depth (grazing depths are bias-prone — see
+    # models/depth_association.py). A sensor-geometry property: lower it for
+    # small indoor rigs whose triangulation is weak and surfaces close.
+    depth_min_incidence: float = 0.1
     # lidar
     n_scan: int = 64
     lidar_fov_up: float = 2.0

@@ -159,7 +159,7 @@ def _vil_frame_program(tracker_state, lidar_state,
     q_imu, p_imu = lie.pose_compose((qt, pt), (q_li, t_li))
     cloud_cam = lie.qrot(q_cl[None, :], pts) + t_cl[None, :]
     depth, _ok = depth_association.feature_depth(
-        obs["xy"], obs["valid"], cloud_cam, val)
+        obs["xy"], obs["valid"], cloud_cam, val, min_incidence=hdr[4])
     # rolling-shutter readout shift TR*(row-ROW/2)/ROW; tsh_scale = TR/ROW
     # (zero for global-shutter rigs)
     tsh = tsh_scale * (obs["uv"][:, 1] - 0.5 * img.shape[0])
@@ -475,7 +475,7 @@ class VILFusionPipeline:
         # optional LiDAR upload quantization (scan_quant > 0): fixed-point
         # int16 points + bit-packed validity cut the host->device scan
         # payload ~2.6x. 2.5 mm resolution sits under the ~2 cm range noise;
-        # measured cost: lidar trajectory moves < 1 cm, VIO < 10 cm
+        # measured cost: lidar trajectory moves < 2.5 cm, VIO < 10 cm
         # (test_pipeline.py::test_scan_quantization_equivalence). A
         # throughput/accuracy DEPLOYMENT KNOB (bench + acceptance run it
         # on), default off: depth-association selections can flip across
@@ -703,7 +703,8 @@ class VILFusionPipeline:
                 self.q_li, self.t_li, self.q_cl, self.t_cl)
             with GLOBAL_TIMERS.timed("depth_association"):
                 depth, _ok = depth_association.feature_depth(
-                    obs["xy"], obs["valid"], cloud_cam, val_dev)
+                    obs["xy"], obs["valid"], cloud_cam, val_dev,
+                    min_incidence=self.rig.depth_min_incidence)
             rec["scan"] = (lq, lp, pts_dev, val_dev)
 
         acc, gyr, dts = self._imu_segment_for_frame(t)
@@ -748,7 +749,8 @@ class VILFusionPipeline:
         blk[:-1, 0:3] = acc_b
         blk[:-1, 3:6] = gyr_b
         blk[:len(dt_b), 6] = dt_b  # dt is (cap-1,) by _pack_imu's contract
-        blk[-1, :4] = (t, n_imu, tsh_scale, self.scan_quant)
+        blk[-1, :5] = (t, n_imu, tsh_scale, self.scan_quant,
+                       self.rig.depth_min_incidence)
         return jnp.asarray(blk)
 
     def _issue_frame_fused(self, rec, t, img, scan):
@@ -847,14 +849,18 @@ class VILFusionPipeline:
                         img=rec["img"], p_est=p_est, q_est=q_est,
                         window=rec["window"], feats=rec["feats"],
                         pre_drift=(rec["drift_R"], rec["drift_t"]),
-                        fresh=(np.asarray(host[7]), np.asarray(host[8]))))
+                        fresh=(np.asarray(host[7]), np.asarray(host[8])),
+                        scan=(None if rec["scan"] is None
+                              else (rec["scan"][2], rec["scan"][3]))))
                     self._last_kf_p = np.asarray(p_est)
             else:
                 drift = self._visual_loop_step(
                     rec["img"], p_est, q_est,
                     window=rec["window"], feats=rec["feats"],
                     pre_drift=(rec["drift_R"], rec["drift_t"]),
-                    fresh=(np.asarray(host[7]), np.asarray(host[8])))
+                    fresh=(np.asarray(host[7]), np.asarray(host[8])),
+                    scan=(None if rec["scan"] is None
+                          else (rec["scan"][2], rec["scan"][3])))
                 if drift is not None:
                     p_est, q_est = self._apply_reloc_drift(drift, p_est, q_est)
 
@@ -932,7 +938,8 @@ class VILFusionPipeline:
                 self.q_li, self.t_li, self.q_cl, self.t_cl)
             with GLOBAL_TIMERS.timed("depth_association"):
                 depth, _ok = depth_association.feature_depth(
-                    obs["xy"], obs["valid"], cloud_cam, val_dev)
+                    obs["xy"], obs["valid"], cloud_cam, val_dev,
+                    min_incidence=self.rig.depth_min_incidence)
             if self.fusion is not None:
                 with GLOBAL_TIMERS.timed("global_fusion"):
                     self.fusion.add_frame(lq, lp, pts_dev, val_dev, t=t)
@@ -973,7 +980,8 @@ class VILFusionPipeline:
                 and self.estimator.frame_count >= est_mod.K - 1):
             drift = self._visual_loop_step(
                 img, p_est, q_est,
-                fresh=(np.asarray(obs["ids"]), np.asarray(dep_dev)))
+                fresh=(np.asarray(obs["ids"]), np.asarray(dep_dev)),
+                scan=None if scan is None else (pts_dev, val_dev))
             if drift is not None:
                 # relocalization feedback (estimator.cpp setReloFrame
                 # :1188-1206 + relo factors :799-836): re-anchor the VIO
@@ -1017,7 +1025,7 @@ class VILFusionPipeline:
                     job["img"], job["p_est"], job["q_est"],
                     window=job["window"], feats=job["feats"],
                     pre_drift=job["pre_drift"], fresh=job["fresh"],
-                    gate=False)
+                    scan=job.get("scan"), gate=False)
                 if drift is not None:
                     self._vl_results.put((job["gen"], drift))
             except Exception as e:  # never kill the pipeline from the worker
@@ -1062,7 +1070,8 @@ class VILFusionPipeline:
         return p_est, q_est
 
     def _visual_loop_step(self, img, p_est, q_est, window=None, feats=None,
-                          pre_drift=(None, None), fresh=None, gate=True):
+                          pre_drift=(None, None), fresh=None, scan=None,
+                          gate=True):
         """Keyframe insert (gated) + detection + verification + 4-DoF drift
         update (pose_graph node process() + optimize4DoF rebuild).
 
@@ -1086,53 +1095,72 @@ class VILFusionPipeline:
         # process_frame already slid the window: the newest frame's
         # observations and state live at slot K-2 now
         slot = est_mod.K - 2
-        pts_w, obs_xy, ids, valid = est_mod.landmarks_world(
+        pts_w_all, obs_all, ids, valid, observed = est_mod.landmarks_world(
             window, feats, jnp.int32(slot))
         valid = np.asarray(valid)
-        # distribution of exportable (depth-resolved) window landmarks per
-        # keyframe: the Hamming gate needs >= MIN_LOOP_NUM matches OF these,
-        # so a low count here starves verification regardless of descriptor
-        # quality (ACCEPTANCE_r05 diagnosis)
-        self.visual_loop.stats.setdefault("win_landmarks", []).append(
-            int(valid.sum()))
-        if valid.sum() < 10:
-            self.visual_loop.stats["skip_few_landmarks"] = \
-                self.visual_loop.stats.get("skip_few_landmarks", 0) + 1
-            return None
-        pts_w = np.asarray(pts_w)[valid]
-        obs_xy = np.asarray(obs_xy)[valid]
+        observed = np.asarray(observed)
+        pts_w_all = np.asarray(pts_w_all).copy()
+        obs_all = np.asarray(obs_all)
+        ids_all = np.asarray(ids)
         if pre_drift[0] is not None:
-            pts_w = pts_w @ pre_drift[0].T + pre_drift[1]
+            pts_w_all = pts_w_all @ pre_drift[0].T + pre_drift[1]
+        # prefer THIS frame's lidar depths for the exported landmarks:
+        # anchor-frame inverse depths decay through marginalization
+        # handovers (removeBackShiftDepth), while a fresh depth is rigidly
+        # consistent with the current keyframe pose — exactly what loop PnP
+        # measures. Features observed NOW with a fresh lidar depth but no
+        # estimator depth are exported too (ACCEPTANCE_r05: only ~30-50
+        # estimator-depthed landmarks per keyframe starved the Hamming
+        # gate's MIN_LOOP_NUM=25 — the depth source does not matter to
+        # matching, only the 3-D quality, and the fresh lidar depth is the
+        # best available). (Idiomatic improvement over pubKeyframe's
+        # anchor-depth export, visualization.cpp:385-440.)
+        has_fresh = np.zeros(len(ids_all), bool)
         if fresh is not None:
-            # prefer THIS frame's lidar depths for the exported landmarks:
-            # anchor-frame inverse depths decay through marginalization
-            # handovers (removeBackShiftDepth), while a fresh depth is
-            # rigidly consistent with the current keyframe pose — exactly
-            # what loop PnP measures. (Idiomatic improvement over
-            # pubKeyframe's anchor-depth export, visualization.cpp:385-440.)
             fids, fdep = fresh
             fok = (fids >= 0) & (fdep > 0)
             lut = {int(i): float(d) for i, d in zip(fids[fok], fdep[fok])}
-            ids_v = np.asarray(ids)[valid]
-            z = np.array([lut.get(int(i), -1.0) for i in ids_v], np.float32)
-            has = z > 0
-            if has.any():
+            z = np.array([lut.get(int(i), -1.0) for i in ids_all], np.float32)
+            has_fresh = observed & (z > 0)
+            if has_fresh.any():
                 R_wb = _np_q2R(np.asarray(q_est, np.float64))
                 R_ic = _np_q2R(np.asarray(self.rig.q_ic, np.float64))
                 R_wc = R_wb @ R_ic
                 p_wc = R_wb @ np.asarray(self.rig.t_ic, np.float64) + p_est
                 rays = np.concatenate(
-                    [obs_xy[has], np.ones((int(has.sum()), 1), np.float32)], -1)
-                pts_w[has] = (rays * z[has, None]) @ R_wc.T + p_wc
+                    [obs_all[has_fresh],
+                     np.ones((int(has_fresh.sum()), 1), np.float32)], -1)
+                pts_w_all[has_fresh] = ((rays * z[has_fresh, None]) @ R_wc.T
+                                        + p_wc)
+        export = valid | has_fresh
+        # distribution of exportable window landmarks per keyframe: the
+        # Hamming gate needs >= MIN_LOOP_NUM matches OF these, so a low
+        # count starves verification regardless of descriptor quality
+        self.visual_loop.stats.setdefault("win_landmarks", []).append(
+            int(export.sum()))
+        if export.sum() < 10:
+            self.visual_loop.stats["skip_few_landmarks"] = \
+                self.visual_loop.stats.get("skip_few_landmarks", 0) + 1
+            return None
+        pts_w = pts_w_all[export]
+        obs_xy = obs_all[export]
         # pixel coords of the observations for descriptor extraction
         px = np.asarray(cam_mod.project(
             self.cam, jnp.concatenate(
                 [jnp.asarray(obs_xy, jnp.float32),
                  jnp.ones((len(obs_xy), 1), jnp.float32)], axis=-1)))
         db = self.visual_loop
+        # this frame's camera-frame cloud: lidar-depthed extra corners
+        # become additional 3-D anchors (see VisualLoopDB.add_keyframe)
+        cloud_cam = cloud_val = None
+        if scan is not None:
+            cloud_cam = lie.qrot(self.q_cl[None, :], scan[0]) \
+                + self.t_cl[None, :]
+            cloud_val = scan[1]
         i_cur = db.add_keyframe(img, q_est, p_est, pts_w, px,
                                 np.ones(len(px), bool), self.cam,
-                                sequence=getattr(self, "sequence", 0))
+                                sequence=getattr(self, "sequence", 0),
+                                cloud_cam=cloud_cam, cloud_valid=cloud_val)
         if i_cur is None:
             return None  # keyframe DB full
         if gate:
